@@ -1,0 +1,323 @@
+"""Ball query: fixed-size neighborhoods within a radius.
+
+Reference semantics (`detection/Votenet/pointnet2/_ext_src/src/ball_query_gpu.cu:14-59`):
+for each query center, scan points in index order and record the first
+``nsample`` indices with squared distance < radius^2; when the first hit is
+found, *all* slots are pre-filled with it (slot-fill), so centers with
+fewer than ``nsample`` hits repeat their first hit. A center with no hit
+returns all-zeros here (the reference leaves the row uninitialised; any
+value is consumed identically downstream because grouped features are
+max-pooled).
+
+Two query modes:
+
+* :func:`ball_query` — exact reference semantics ("first k in index
+  order"), implemented as a chunked top-k over an ordering key. This is
+  the parity/testing path.
+* :func:`ball_query_stratified` — a TPU-native variant: the N points are
+  split into ``nsample`` contiguous buckets and each slot takes the first
+  hit of its bucket (empty slots are filled with the globally first hit).
+  Because detection clouds are randomly permuted by the input pipeline,
+  this is a stratified sample of the same neighborhood with identical
+  downstream semantics (neighborhoods feed a max/avg pool), but it runs as
+  pure dense reductions with no top-k/sort. Used by the Pallas fast path.
+
+Both are integer-valued and non-differentiable.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from backtoreality_tpu.ops._runtime import pallas_interpret
+
+_BIG_NEG = -(2**30)
+
+
+def _pairwise_d2(new_xyz: jax.Array, xyz: jax.Array) -> jax.Array:
+    """(..., M, 3) x (..., N, 3) -> (..., M, N) squared distances."""
+    # |c - p|^2 = |c|^2 - 2 c.p + |p|^2 ; the cross term is a matmul (MXU).
+    # HIGHEST precision: geometry must not drop to bf16 MXU passes — radius
+    # classification is threshold-sensitive.
+    cross = jnp.einsum(
+        "...mc,...nc->...mn",
+        new_xyz,
+        xyz,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    c2 = jnp.sum(jnp.square(new_xyz), axis=-1)[..., :, None]
+    p2 = jnp.sum(jnp.square(xyz), axis=-1)[..., None, :]
+    return c2 - 2.0 * cross + p2
+
+
+# ---------------------------------------------------------------------------
+# Exact first-k (reference semantics)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def ball_query(
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    radius: float,
+    nsample: int,
+    chunk: int = 256,
+) -> jax.Array:
+    """Exact reference ball query.
+
+    Args:
+      xyz: (B, N, 3) points.
+      new_xyz: (B, M, 3) query centers.
+      radius: ball radius (static).
+      nsample: neighborhood slot count (static).
+      chunk: centers processed per step to bound the (B, chunk, N)
+        intermediate (static).
+
+    Returns:
+      (B, M, nsample) int32 indices into N.
+    """
+    b, n, _ = xyz.shape
+    m = new_xyz.shape[1]
+    r2 = jnp.float32(radius * radius)
+    xyz = xyz.astype(jnp.float32)
+    new_xyz = new_xyz.astype(jnp.float32)
+
+    chunk = min(chunk, m)
+    num_chunks = -(-m // chunk)
+    m_pad = num_chunks * chunk
+    if m_pad != m:
+        pad = jnp.zeros((b, m_pad - m, 3), jnp.float32)
+        new_xyz = jnp.concatenate([new_xyz, pad], axis=1)
+
+    j = jnp.arange(n, dtype=jnp.int32)
+    slot = jnp.arange(nsample, dtype=jnp.int32)
+
+    def one_chunk(centers):  # (B, chunk, 3) -> (B, chunk, nsample)
+        d2 = _pairwise_d2(centers, xyz)  # (B, chunk, N)
+        mask = d2 < r2
+        # Hits rank above misses; within each group the key decreases with
+        # index, so top-k (descending, stable) yields "first k in index
+        # order" and its `indices` output is exactly the point index.
+        key = jnp.where(mask, 2 * n - j, n - j).astype(jnp.int32)
+        _, idx = jax.lax.top_k(key, nsample)  # (B, chunk, nsample)
+        idx = idx.astype(jnp.int32)
+        cnt = jnp.sum(mask, axis=-1, dtype=jnp.int32)  # (B, chunk)
+        fill = idx[..., 0:1]
+        return jnp.where(slot < cnt[..., None], idx, fill)
+
+    chunks = jnp.moveaxis(
+        new_xyz.reshape(b, num_chunks, chunk, 3), 1, 0
+    )  # (num_chunks, B, chunk, 3)
+    out = jax.lax.map(one_chunk, chunks)  # (num_chunks, B, chunk, nsample)
+    out = jnp.moveaxis(out, 0, 1).reshape(b, m_pad, nsample)
+    return out[:, :m]
+
+
+# ---------------------------------------------------------------------------
+# Stratified variant (TPU-native production path)
+# ---------------------------------------------------------------------------
+
+
+def _stratified_math(d2, r2, n, nsample, bucket):
+    """Shared math for the XLA and Pallas stratified implementations.
+
+    d2: (..., M, S*bucket) squared distances (padded with +inf).
+    Returns (..., M, S) int32 indices.
+    """
+    mask = d2 < r2
+    shape = mask.shape[:-1] + (nsample, bucket)
+    mask_b = mask.reshape(shape)
+    pos = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+    # First hit within each bucket: maximise -pos over hits.
+    key = jnp.where(mask_b, -pos, _BIG_NEG)
+    best = jnp.max(key, axis=-1)  # (..., M, S)
+    has_hit = best > _BIG_NEG
+    base = jnp.arange(nsample, dtype=jnp.int32) * bucket
+    local = jnp.where(has_hit, -best, 0)
+    idx = base + local  # (..., M, S)
+    # Global first hit = first hit of the first non-empty bucket
+    # (buckets are contiguous index ranges, so this IS the global first).
+    sidx = jnp.arange(nsample, dtype=jnp.int32)
+    bbest = jnp.max(jnp.where(has_hit, -sidx, _BIG_NEG), axis=-1,
+                    keepdims=True)
+    first_bucket = jnp.where(bbest > _BIG_NEG, -bbest, 0)  # (..., M, 1)
+    # One-hot extraction (gather-free: works identically under Pallas).
+    fill = jnp.sum(
+        jnp.where(sidx == first_bucket, idx, 0), axis=-1, keepdims=True
+    )
+    out = jnp.where(has_hit, idx, fill)
+    return jnp.minimum(out, n - 1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _ball_query_stratified_xla(
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    radius: float,
+    nsample: int,
+    chunk: int = 256,
+) -> jax.Array:
+    b, n, _ = xyz.shape
+    m = new_xyz.shape[1]
+    r2 = jnp.float32(radius * radius)
+    xyz = xyz.astype(jnp.float32)
+    new_xyz = new_xyz.astype(jnp.float32)
+
+    bucket = -(-n // nsample)
+    n_pad = bucket * nsample
+    if n_pad != n:
+        # Pad far away so padded entries never register as hits.
+        pad = jnp.full((b, n_pad - n, 3), 1e6, jnp.float32)
+        xyz_p = jnp.concatenate([xyz, pad], axis=1)
+    else:
+        xyz_p = xyz
+
+    chunk = min(chunk, m)
+    num_chunks = -(-m // chunk)
+    m_pad = num_chunks * chunk
+    if m_pad != m:
+        pad = jnp.zeros((b, m_pad - m, 3), jnp.float32)
+        new_xyz = jnp.concatenate([new_xyz, pad], axis=1)
+
+    def one_chunk(centers):
+        d2 = _pairwise_d2(centers, xyz_p)  # (B, chunk, n_pad)
+        return _stratified_math(d2, r2, n, nsample, bucket)
+
+    chunks = jnp.moveaxis(new_xyz.reshape(b, num_chunks, chunk, 3), 1, 0)
+    out = jax.lax.map(one_chunk, chunks)
+    out = jnp.moveaxis(out, 0, 1).reshape(b, m_pad, nsample)
+    return out[:, :m]
+
+
+def _bq_stratified_kernel(
+    xyzb_ref, c_ref, idx_ref, hit_ref, *, r2, nsample, bucket
+):
+    # xyzb_ref: (1, S, 3, bucket) f32 — bucketed, coordinate-major points
+    #           of one batch row (bucket rides the lane axis).
+    # c_ref:   (1, mb, 3) f32 — one block of centers.
+    # idx_ref: (1, mb, S) i32 — per-slot first-hit index (global).
+    # hit_ref: (1, mb, S) i32 — 1 where the slot's bucket had a hit.
+    mb = c_ref.shape[1]
+    centers = c_ref[0]  # (mb, 3)
+    c2 = jnp.sum(jnp.square(centers), axis=1, keepdims=True)  # (mb, 1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (mb, bucket), 1)
+    scol = jax.lax.broadcasted_iota(jnp.int32, (mb, nsample), 1)
+
+    idx_ref[0] = jnp.zeros((mb, nsample), jnp.int32)
+    hit_ref[0] = jnp.zeros((mb, nsample), jnp.int32)
+
+    def body(s, _):
+        pts = xyzb_ref[0, s]  # (3, bucket)
+        cross = jax.lax.dot_general(
+            centers,
+            pts,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (mb, bucket)
+        p2 = jnp.sum(jnp.square(pts), axis=0, keepdims=True)  # (1, bucket)
+        d2 = c2 - 2.0 * cross + p2
+        key = jnp.where(d2 < r2, -pos, _BIG_NEG)  # first hit = max key
+        best = jnp.max(key, axis=1, keepdims=True)  # (mb, 1)
+        has = best > _BIG_NEG
+        local = jnp.where(has, -best, 0)
+        sel = scol == s
+        idx_ref[0] = idx_ref[0] + jnp.where(
+            sel, s * bucket + local, 0
+        ).astype(jnp.int32)
+        hit_ref[0] = hit_ref[0] + jnp.where(
+            sel & has, 1, 0
+        ).astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, nsample, body, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _ball_query_stratified_pallas(
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    radius: float,
+    nsample: int,
+    mb: int = 256,
+) -> jax.Array:
+    b, n, _ = xyz.shape
+    m = new_xyz.shape[1]
+    bucket = -(-n // nsample)
+    n_pad = bucket * nsample
+    xyz = xyz.astype(jnp.float32)
+    if n_pad != n:
+        pad = jnp.full((b, n_pad - n, 3), 1e6, jnp.float32)
+        xyz = jnp.concatenate([xyz, pad], axis=1)
+    # (B, S, 3, bucket): coordinate-major so each bucket slice is a dense
+    # (3, bucket) tile with the bucket on the lane axis.
+    xyzb = jnp.transpose(
+        xyz.reshape(b, nsample, bucket, 3), (0, 1, 3, 2)
+    )
+
+    mb = min(mb, m)
+    num_mb = -(-m // mb)
+    m_pad = num_mb * mb
+    new_xyz = new_xyz.astype(jnp.float32)
+    if m_pad != m:
+        pad = jnp.zeros((b, m_pad - m, 3), jnp.float32)
+        new_xyz = jnp.concatenate([new_xyz, pad], axis=1)
+
+    kernel = functools.partial(
+        _bq_stratified_kernel,
+        r2=radius * radius,
+        nsample=nsample,
+        bucket=bucket,
+    )
+    idx, hit = pl.pallas_call(
+        kernel,
+        grid=(b, num_mb),
+        in_specs=[
+            pl.BlockSpec((1, nsample, 3, bucket), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mb, 3), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, mb, nsample), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mb, nsample), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, m_pad, nsample), jnp.int32),
+            jax.ShapeDtypeStruct((b, m_pad, nsample), jnp.int32),
+        ),
+        interpret=pallas_interpret(),
+    )(xyzb, new_xyz)
+    idx, hit = idx[:, :m], hit[:, :m] > 0
+    # Slot-fill (XLA side, tiny): empty slots take the globally first hit,
+    # i.e. the first hit of the first non-empty bucket.
+    sidx = jnp.arange(nsample, dtype=jnp.int32)
+    bbest = jnp.max(jnp.where(hit, -sidx, _BIG_NEG), axis=-1, keepdims=True)
+    first_bucket = jnp.where(bbest > _BIG_NEG, -bbest, 0)
+    fill = jnp.sum(
+        jnp.where(sidx == first_bucket, idx, 0), axis=-1, keepdims=True
+    )
+    out = jnp.where(hit, idx, fill)
+    return jnp.minimum(out, n - 1).astype(jnp.int32)
+
+
+def ball_query_stratified(
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    radius: float,
+    nsample: int,
+    *,
+    use_pallas: bool | None = None,
+) -> jax.Array:
+    """Bucketed ball query (see module docstring). (B, M, nsample) int32."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        return _ball_query_stratified_pallas(xyz, new_xyz, radius, nsample)
+    return _ball_query_stratified_xla(xyz, new_xyz, radius, nsample)

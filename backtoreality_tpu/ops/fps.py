@@ -1,0 +1,166 @@
+"""Furthest point sampling.
+
+Semantics match the reference CUDA kernel
+(`detection/Votenet/pointnet2/_ext_src/src/sampling_gpu.cu:74-177`):
+
+* the first sample is always index 0;
+* points with squared norm <= 1e-3 are skipped (the padding convention —
+  clouds are padded with points at/near the origin);
+* each of the remaining ``npoint - 1`` iterations picks the point whose
+  min-distance to the already-chosen set is largest (ties -> lowest index,
+  and if every point is a padding point the kernel returns index 0).
+
+The op is integer-valued and non-differentiable (reference marks the
+backward as None, `pointnet2_utils.py:75-77`).
+
+Two implementations:
+
+* :func:`_fps_xla` — a ``lax.fori_loop`` over the sample dimension with a
+  masked argmax, batched over B. Runs on any backend.
+* :func:`_fps_pallas` — a Pallas TPU kernel that keeps coordinates and the
+  running min-distance field resident in VMEM across all iterations,
+  processing the whole batch per step (B on the sublane axis, N on lanes).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from backtoreality_tpu.ops._runtime import pallas_interpret
+
+_PAD_NORM2 = 1e-3  # squared-norm threshold below which a point is padding
+_BIG = 1e10
+
+
+def _valid_mask(xyz: jax.Array) -> jax.Array:
+    """(B, N) bool — True for points that participate in FPS."""
+    return jnp.sum(xyz * xyz, axis=-1) > _PAD_NORM2
+
+
+# ---------------------------------------------------------------------------
+# Pure-XLA implementation
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _fps_xla(xyz: jax.Array, npoint: int) -> jax.Array:
+    b, n, _ = xyz.shape
+    xyz = xyz.astype(jnp.float32)
+    valid = _valid_mask(xyz)
+    batch_iota = jnp.arange(b)
+
+    def body(j, carry):
+        mindist, last, idxs = carry
+        ref = xyz[batch_iota, last]  # (B, 3)
+        d = jnp.sum(jnp.square(xyz - ref[:, None, :]), axis=-1)  # (B, N)
+        mindist = jnp.minimum(mindist, d)
+        # Padding points never win the argmax: their key is pinned to -1
+        # (< any d >= 0); an all-padding row degenerates to index 0 like
+        # the reference kernel.
+        nxt = jnp.argmax(mindist, axis=-1).astype(jnp.int32)
+        idxs = idxs.at[:, j].set(nxt)
+        return mindist, nxt, idxs
+
+    init = (
+        jnp.where(valid, _BIG, -1.0).astype(jnp.float32),
+        jnp.zeros((b,), dtype=jnp.int32),
+        jnp.zeros((b, npoint), dtype=jnp.int32),
+    )
+    _, _, idxs = jax.lax.fori_loop(1, npoint, body, init)
+    return idxs
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel
+# ---------------------------------------------------------------------------
+#
+# One kernel invocation handles the full batch: coordinates are
+# pre-transposed to (3, B, N) so each coordinate plane is a (B, N) tile with
+# B on sublanes and N on lanes — every per-iteration pass is a dense VPU
+# sweep at full lane utilisation. The sequential dependence over the sample
+# dimension stays on-chip: the min-distance field lives in VMEM for all
+# `npoint` iterations (no HBM round-trips, unlike a lax.fori_loop which
+# re-materialises the carry each step).
+
+
+def _fps_kernel(xyzt_ref, out_ref, mind_ref):
+    # xyzt_ref: (3, B, N) f32   out_ref: (B, npoint) i32
+    # mind_ref: (B, N) f32 scratch
+    b, n = mind_ref.shape
+    npoint = out_ref.shape[1]
+
+    x = xyzt_ref[0]
+    y = xyzt_ref[1]
+    z = xyzt_ref[2]
+    norm2 = x * x + y * y + z * z
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, npoint), 1)
+
+    # Invalid (padding) points carry a permanently negative min-distance so
+    # they can never win the argmax; d >= 0 keeps them pinned at -1.
+    mind_ref[:, :] = jnp.where(norm2 > _PAD_NORM2, _BIG, -1.0)
+    out_ref[:, :] = jnp.zeros((b, npoint), dtype=jnp.int32)
+
+    def body(j, last):
+        # last: (B, 1) int32 — previously selected index per batch row.
+        eq = (lane == last).astype(jnp.float32)
+        x1 = jnp.sum(x * eq, axis=1, keepdims=True)
+        y1 = jnp.sum(y * eq, axis=1, keepdims=True)
+        z1 = jnp.sum(z * eq, axis=1, keepdims=True)
+        d = (
+            jnp.square(x - x1)
+            + jnp.square(y - y1)
+            + jnp.square(z - z1)
+        )
+        mind = jnp.minimum(mind_ref[:, :], d)
+        mind_ref[:, :] = mind
+        best = jnp.max(mind, axis=1, keepdims=True)  # (B, 1)
+        # lowest index achieving the max (reference tie-breaking)
+        nxt = jnp.min(
+            jnp.where(mind == best, lane, n), axis=1, keepdims=True
+        ).astype(jnp.int32)  # (B, 1)
+        out_ref[:, :] = out_ref[:, :] + nxt * (col == j)
+        return nxt
+
+    jax.lax.fori_loop(
+        1, npoint, body, jnp.zeros((b, 1), dtype=jnp.int32)
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _fps_pallas(xyz: jax.Array, npoint: int) -> jax.Array:
+    b, n, _ = xyz.shape
+    xyzt = jnp.transpose(xyz.astype(jnp.float32), (2, 0, 1))  # (3, B, N)
+    return pl.pallas_call(
+        _fps_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, npoint), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((b, n), jnp.float32)],
+        interpret=pallas_interpret(),
+    )(xyzt)
+
+
+def furthest_point_sample(
+    xyz: jax.Array, npoint: int, *, use_pallas: bool | None = None
+) -> jax.Array:
+    """Iterative furthest point sampling.
+
+    Args:
+      xyz: (B, N, 3) point coordinates. Points with ||p||^2 <= 1e-3 are
+        treated as padding and never sampled.
+      npoint: number of samples to draw (static).
+      use_pallas: force the Pallas TPU kernel on/off; default auto-selects
+        by backend.
+
+    Returns:
+      (B, npoint) int32 indices into N. Index 0 is always the first sample.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        return _fps_pallas(xyz, npoint)
+    return _fps_xla(xyz, npoint)

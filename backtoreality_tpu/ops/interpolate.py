@@ -1,0 +1,61 @@
+"""Three-nearest-neighbor feature interpolation.
+
+Replaces the reference CUDA ops `three_nn` / `three_interpolate`
+(`interpolate_gpu.cu:13-160`). Matches the Python wrapper contract:
+`three_nn` returns *euclidean* (sqrt) distances
+(`pointnet2_utils.py:142`), and `three_interpolate` computes a weighted
+3-point gather, differentiable in the features (scatter-add transpose).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from backtoreality_tpu.ops.ball_query import _pairwise_d2
+
+
+@jax.jit
+def three_nn(unknown: jax.Array, known: jax.Array):
+    """For each of n unknown points find its 3 nearest known points.
+
+    Args:
+      unknown: (B, n, 3).
+      known: (B, m, 3).
+
+    Returns:
+      dist: (B, n, 3) euclidean distances (ascending).
+      idx: (B, n, 3) int32 indices into m.
+    """
+    d2 = _pairwise_d2(unknown.astype(jnp.float32),
+                      known.astype(jnp.float32))  # (B, n, m)
+    neg, idx = jax.lax.top_k(-d2, 3)
+    return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx.astype(jnp.int32)
+
+
+def three_interpolate(features: jax.Array, idx: jax.Array,
+                      weight: jax.Array) -> jax.Array:
+    """Weighted 3-point feature gather.
+
+    Args:
+      features: (B, m, C).
+      idx: (B, n, 3) int32 indices into m.
+      weight: (B, n, 3) interpolation weights.
+
+    Returns:
+      (B, n, C) interpolated features.
+    """
+    b, n, _ = idx.shape
+    c = features.shape[-1]
+    g = jnp.take_along_axis(
+        features, idx.reshape(b, n * 3, 1).astype(jnp.int32), axis=1
+    ).reshape(b, n, 3, c)
+    return jnp.sum(g * weight[..., None], axis=2)
+
+
+@jax.jit
+def interpolation_weights(dist: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Inverse-distance weights as used by the FP module
+    (`pointnet2_modules.py:492-495`)."""
+    recip = 1.0 / (dist + eps)
+    return recip / jnp.sum(recip, axis=-1, keepdims=True)

@@ -1,0 +1,154 @@
+"""Set-Abstraction and Feature-Propagation modules.
+
+TPU-native re-design of `pointnet2_modules.py` (PointnetSAModuleVotes
+:164-272, PointnetSAModuleCenters :357-451, PointnetFPModule :454-514):
+
+* channels-last (B, N, C) features;
+* FPS / ball-query from the Pallas-backed op library;
+* grouping -> center-subtract -> (optional /radius) -> concat xyz ->
+  SharedMLP -> pool, all fused by XLA into MXU matmuls over the
+  (npoint*nsample) position axis;
+* pooling modes max / avg / rbf as in the reference.
+"""
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from backtoreality_tpu import ops
+from backtoreality_tpu.nn.mlp import SharedMLP
+
+
+class _GroupMixin:
+    def _group(self, xyz, new_xyz, features):
+        """Ball-query + group + localize. Returns (grouped, grouped_xyz)
+        with grouped (B, npoint, nsample, C[+3]) and grouped_xyz the
+        center-relative coordinates (before radius normalization is
+        applied to features when normalize_xyz)."""
+        if self.query_mode == "exact":
+            idx = ops.ball_query(xyz, new_xyz, self.radius, self.nsample)
+        else:
+            idx = ops.ball_query_stratified(
+                xyz, new_xyz, self.radius, self.nsample
+            )
+        grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
+        local_xyz = grouped_xyz
+        if self.normalize_xyz:
+            local_xyz = grouped_xyz / self.radius
+        if features is not None:
+            grouped_feats = ops.group_points(features, idx)
+            if self.use_xyz:
+                grouped = jnp.concatenate([local_xyz, grouped_feats], -1)
+            else:
+                grouped = grouped_feats
+        else:
+            grouped = local_xyz
+        return grouped, grouped_xyz
+
+    def _pool(self, new_features, grouped_xyz):
+        """(B, npoint, nsample, C) -> (B, npoint, C)."""
+        if self.pooling == "max":
+            return jnp.max(new_features, axis=2)
+        if self.pooling == "avg":
+            return jnp.mean(new_features, axis=2)
+        if self.pooling == "rbf":
+            # `pointnet2_modules.py:261-266`
+            sigma = self.sigma if self.sigma is not None else self.radius / 2
+            rbf = jnp.exp(
+                -jnp.sum(jnp.square(grouped_xyz), -1) / (sigma**2) / 2
+            )  # (B, npoint, nsample)
+            return (
+                jnp.sum(new_features * rbf[..., None], axis=2)
+                / self.nsample
+            )
+        raise ValueError(f"unknown pooling {self.pooling!r}")
+
+
+class SAModuleVotes(nn.Module, _GroupMixin):
+    """Set abstraction with external-indices support
+    (`PointnetSAModuleVotes`, `pointnet2_modules.py:164-272`)."""
+
+    npoint: int
+    radius: float
+    nsample: int
+    mlp: tp.Sequence[int]
+    use_xyz: bool = True
+    normalize_xyz: bool = False
+    pooling: str = "max"
+    sigma: float | None = None
+    query_mode: str = "stratified"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, xyz, features=None, inds=None, *, train: bool,
+        bn_momentum=0.1
+    ):
+        """xyz (B,N,3); features (B,N,C) or None; inds optional (B,npoint).
+
+        Returns (new_xyz (B,npoint,3), new_features (B,npoint,mlp[-1]),
+        inds (B,npoint))."""
+        if inds is None:
+            inds = ops.furthest_point_sample(xyz, self.npoint)
+        new_xyz = ops.gather_points(xyz, inds)
+        grouped, grouped_xyz = self._group(xyz, new_xyz, features)
+        new_features = SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(
+            grouped, train=train, bn_momentum=bn_momentum
+        )
+        return new_xyz, self._pool(new_features, grouped_xyz), inds
+
+
+class SAModuleCenters(nn.Module, _GroupMixin):
+    """Set abstraction around *given* centers — the jitter head
+    (`PointnetSAModuleCenters`, `pointnet2_modules.py:357-451`)."""
+
+    radius: float
+    nsample: int
+    mlp: tp.Sequence[int]
+    use_xyz: bool = True
+    normalize_xyz: bool = False
+    pooling: str = "max"
+    sigma: float | None = None
+    query_mode: str = "stratified"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, features, centers, *, train: bool,
+                 bn_momentum=0.1):
+        """Returns (B, num_centers, mlp[-1]) features grouped at centers."""
+        grouped, grouped_xyz = self._group(xyz, centers, features)
+        new_features = SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(
+            grouped, train=train, bn_momentum=bn_momentum
+        )
+        return self._pool(new_features, grouped_xyz)
+
+
+class FPModule(nn.Module):
+    """Feature propagation (`PointnetFPModule`,
+    `pointnet2_modules.py:454-514`): 3-NN inverse-distance interpolation
+    of `known` features onto `unknown` positions, concat skip features,
+    SharedMLP."""
+
+    mlp: tp.Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, unknown, known, unknown_feats, known_feats, *, train: bool,
+        bn_momentum=0.1
+    ):
+        """unknown (B,n,3); known (B,m,3); unknown_feats (B,n,C1) or None;
+        known_feats (B,m,C2). Returns (B,n,mlp[-1])."""
+        dist, idx = ops.three_nn(unknown, known)
+        weight = 1.0 / (dist + 1e-8)
+        weight = weight / jnp.sum(weight, axis=-1, keepdims=True)
+        interp = ops.three_interpolate(known_feats, idx, weight)
+        if unknown_feats is not None:
+            feats = jnp.concatenate([interp, unknown_feats], axis=-1)
+        else:
+            feats = interp
+        return SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(
+            feats, train=train, bn_momentum=bn_momentum
+        )

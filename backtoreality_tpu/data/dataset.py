@@ -1,0 +1,263 @@
+"""Detection datasets (VoteNet-style labels).
+
+One parameterized dataset class replaces the reference's
+`scannet/scannet_detection_dataset.py:29-219` and
+`matterport/matterport_detection_dataset.py:28-218`. Per scan it loads
+the npy quadruple (`{scan}_vert.npy` (N,6) xyzrgb, `_ins_label.npy`,
+`_sem_label.npy`, `_bbox.npy` (K,7 or K,8 with heading)), random-samples
+to `num_points` (which also randomly permutes the cloud — a property the
+stratified ball query relies on), augments (flips/rotation; rotated
+datasets track heading angles), computes vote labels post-augmentation
+from per-instance point extents, pads GT to `max_num_obj`, and applies
+the center-jitter protocol: real scans use the frozen
+`annotation_error.npy` table (vendored in assets/), virtual scans draw a
+fresh (U-0.5)*jitter table per dataset instantiation.
+
+Differences from the reference are intentional and TPU-motivated:
+* per-item randomness comes from a seeded np.random.Generator
+  (deterministic given (seed, epoch, idx)), not global numpy state;
+* items are plain dicts of fixed-shape numpy arrays, collated by the
+  loader into device-ready batches.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+
+import numpy as np
+
+from backtoreality_tpu.data.config import (
+    ASSETS,
+    DatasetConfig,
+    rotate_aligned_boxes,
+)
+
+MEAN_COLOR_RGB = np.array([109.8, 97.2, 83.8])
+
+
+def rotz(t: float) -> np.ndarray:
+    c, s = np.cos(t), np.sin(t)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+
+def random_sampling(pc, num_sample, rng, return_choices=False):
+    """`utils/pc_util.py:36-44` with an explicit generator."""
+    replace = pc.shape[0] < num_sample
+    choices = rng.choice(pc.shape[0], num_sample, replace=replace)
+    if return_choices:
+        return pc[choices], choices
+    return pc[choices]
+
+
+class DetectionDataset:
+    """Map-style dataset yielding VoteNet training dicts."""
+
+    def __init__(
+        self,
+        config: DatasetConfig,
+        data_path: str,
+        split: str = "train",
+        num_points: int = 40000,
+        use_color: bool = False,
+        use_height: bool = False,
+        augment: bool = False,
+        center_jitter: float = 0.0,
+        rot_range: float | None = None,
+        seed: int = 0,
+    ):
+        self.config = config
+        self.data_path = pathlib.Path(data_path)
+        self.num_points = num_points
+        self.use_color = use_color
+        self.use_height = use_height
+        self.augment = augment
+        self.center_jitter = center_jitter
+        self.seed = seed
+        self.rotated_boxes = config.num_heading_bin > 1
+        # scannet: +-5 deg; matterport: +-30 deg
+        if rot_range is None:
+            rot_range = np.pi / 3 if self.rotated_boxes else np.pi / 18
+        self.rot_range = rot_range
+
+        self.scan_names = self._resolve_scans(split)
+        self.delta = self._jitter_table()
+
+    # ------------------------------------------------------------------
+
+    def _resolve_scans(self, split):
+        names = sorted(
+            {f.name.rsplit("_vert.npy", 1)[0]
+             for f in self.data_path.glob("*_vert.npy")}
+        )
+        if split == "all":
+            return names
+        split_dir = (ASSETS / "matterport" if "matterport" in
+                     self.config.name else ASSETS / "scannet")
+        split_files = {
+            "train": ["scannetv2_train.txt", "matterport3d_train.txt"],
+            "val": ["scannetv2_val.txt", "matterport3d_val.txt"],
+            "test": ["scannetv2_test.txt", "matterport3d_val.txt"],
+        }
+        if split in split_files:
+            keep = set()
+            for fname in split_files[split]:
+                p = split_dir / fname
+                if p.exists():
+                    keep |= set(p.read_text().splitlines())
+            return [n for n in names if self._base_scan(n) in keep]
+        if split == "train_aug":
+            # real train scans plus every augmented/virtual scene
+            base = set(self._resolve_scans("train"))
+            return [n for n in names if n in base or "aug" in n]
+        raise ValueError(f"illegal split {split!r}")
+
+    @staticmethod
+    def _base_scan(name):
+        return name[0:18] if name.startswith("scene_aug") else name[0:12]
+
+    def _jitter_table(self):
+        k = self.config.max_num_obj
+        if self.center_jitter == 0:
+            return np.zeros((len(self), k, 3))
+        if "obj" in str(self.data_path):
+            # virtual data: fresh draw (`scannet_detection_dataset.py:83-84`)
+            rng = np.random.default_rng(self.seed + 7919)
+            return (rng.random((len(self), k, 3)) - 0.5) * self.center_jitter
+        # real data: frozen table (benchmark-defining)
+        sub = ("scannet" if "scannet" in self.config.name else "matterport")
+        table_path = ASSETS / sub / "annotation_error.npy"
+        if table_path.exists():
+            table = np.load(table_path)
+            if table.shape[0] >= len(self) and table.shape[1] >= k:
+                return table[: len(self), :k]
+        rng = np.random.default_rng(self.seed + 104729)
+        return (rng.random((len(self), k, 3)) - 0.5) * self.center_jitter
+
+    def __len__(self):
+        return len(self.scan_names)
+
+    # ------------------------------------------------------------------
+
+    def get(self, idx: int, epoch: int = 0):
+        """Load and label one scan; deterministic in (seed, epoch, idx)."""
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch, idx]))
+        cfg = self.config
+        k_max = cfg.max_num_obj
+        scan = self.scan_names[idx]
+        verts = np.load(self.data_path / f"{scan}_vert.npy")
+        instance_labels = np.load(self.data_path / f"{scan}_ins_label.npy")
+        semantic_labels = np.load(self.data_path / f"{scan}_sem_label.npy")
+        instance_bboxes = np.load(self.data_path / f"{scan}_bbox.npy")
+        instance_bboxes = instance_bboxes[:k_max].astype(np.float64).copy()
+
+        if not self.use_color:
+            point_cloud = verts[:, 0:3].astype(np.float64)
+        else:
+            point_cloud = verts[:, 0:6].astype(np.float64)
+            point_cloud[:, 3:6] = (
+                point_cloud[:, 3:6] - MEAN_COLOR_RGB) / 256.0
+
+        if self.use_height:
+            floor_height = np.percentile(point_cloud[:, 2], 0.99)
+            height = point_cloud[:, 2] - floor_height
+            point_cloud = np.concatenate(
+                [point_cloud, height[:, None]], 1)
+
+        point_cloud, choices = random_sampling(
+            point_cloud, self.num_points, rng, return_choices=True)
+        instance_labels = instance_labels[choices]
+        semantic_labels = semantic_labels[choices]
+
+        nobj = instance_bboxes.shape[0]
+        target_bboxes = np.zeros((k_max, 6))
+        target_bboxes_mask = np.zeros(k_max)
+        target_bboxes_mask[:nobj] = 1
+        target_bboxes[:nobj] = instance_bboxes[:, 0:6]
+
+        if self.augment:
+            if rng.random() > 0.5:  # flip x
+                point_cloud[:, 0] *= -1
+                target_bboxes[:, 0] *= -1
+                if self.rotated_boxes:
+                    instance_bboxes[:, 0] *= -1
+                    instance_bboxes[:, 6] = np.pi - instance_bboxes[:, 6]
+            if not self.rotated_boxes and rng.random() > 0.5:  # flip y
+                point_cloud[:, 1] *= -1
+                target_bboxes[:, 1] *= -1
+            rot_angle = (rng.random() - 0.5) * self.rot_range
+            rot_mat = rotz(rot_angle)
+            point_cloud[:, 0:3] = point_cloud[:, 0:3] @ rot_mat.T
+            if self.rotated_boxes:
+                instance_bboxes[:, 0:3] = instance_bboxes[:, 0:3] @ rot_mat.T
+                instance_bboxes[:, 6] -= rot_angle
+                target_bboxes[:, 0:3] = target_bboxes[:, 0:3] @ rot_mat.T
+            else:
+                target_bboxes = rotate_aligned_boxes(target_bboxes, rot_mat)
+
+        # vote labels AFTER augmentation, from instance point extents
+        point_votes = np.zeros((self.num_points, 3))
+        point_votes_mask = np.zeros(self.num_points)
+        raw_id_set = set(int(r) for r in cfg.raw_ids)
+        for i_instance in np.unique(instance_labels):
+            ind = np.where(instance_labels == i_instance)[0]
+            if int(semantic_labels[ind[0]]) in raw_id_set:
+                x = point_cloud[ind, :3]
+                center = 0.5 * (x.min(0) + x.max(0))
+                point_votes[ind, :] = center - x
+                point_votes_mask[ind] = 1.0
+        point_votes = np.tile(point_votes, (1, 3))
+
+        angle_classes = np.zeros(k_max)
+        angle_residuals = np.zeros(k_max)
+        if self.rotated_boxes:
+            for i in range(nobj):
+                c, r = cfg.angle2class(float(instance_bboxes[i, 6]))
+                angle_classes[i] = c
+                angle_residuals[i] = r
+
+        raw_to_class = cfg.raw_id_to_class
+        class_ind = [raw_to_class[int(x)]
+                     for x in instance_bboxes[:, -1]]
+        size_classes = np.zeros(k_max)
+        size_residuals = np.zeros((k_max, 3))
+        size_gts = np.zeros((k_max, 3))
+        size_classes[:nobj] = class_ind
+        size_residuals[:nobj] = (
+            target_bboxes[:nobj, 3:6] - cfg.mean_size_arr[class_ind])
+        size_gts[:nobj] = target_bboxes[:nobj, 3:6]
+
+        gt_centers = target_bboxes[:, 0:3].copy()
+        center_jitter = size_gts * self.delta[idx]
+        if self.center_jitter != 0:
+            gt_centers += center_jitter
+
+        sem_cls = np.zeros(k_max)
+        sem_cls[:nobj] = class_ind
+
+        if nobj > 0:
+            cloud_label = np.eye(cfg.num_class)[
+                sem_cls[:nobj].astype(int)].max(axis=0)
+        else:
+            cloud_label = np.zeros(cfg.num_class)
+
+        return {
+            "point_clouds": point_cloud.astype(np.float32),
+            "center_label": gt_centers.astype(np.float32),
+            "center_jitter": center_jitter.astype(np.float32),
+            "heading_class_label": angle_classes.astype(np.int32),
+            "heading_residual_label": angle_residuals.astype(np.float32),
+            "size_class_label": size_classes.astype(np.int32),
+            "size_residual_label": size_residuals.astype(np.float32),
+            "size_gts": size_gts.astype(np.float32),
+            "sem_cls_label": sem_cls.astype(np.int32),
+            "cloud_label": cloud_label.astype(np.float32),
+            "box_label_mask": target_bboxes_mask.astype(np.float32),
+            "vote_label": point_votes.astype(np.float32),
+            "vote_label_mask": point_votes_mask.astype(np.int32),
+            "scan_idx": np.int32(idx),
+        }
+
+    def __getitem__(self, idx):
+        return self.get(idx)

@@ -316,6 +316,9 @@ def ball_query_stratified(
     use_pallas: bool | None = None,
 ) -> jax.Array:
     """Bucketed ball query (see module docstring). (B, M, nsample) int32."""
+    # Integer-valued op — cut the AD path (see furthest_point_sample).
+    xyz = jax.lax.stop_gradient(xyz)
+    new_xyz = jax.lax.stop_gradient(new_xyz)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:

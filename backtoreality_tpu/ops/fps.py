@@ -159,6 +159,10 @@ def furthest_point_sample(
     Returns:
       (B, npoint) int32 indices into N. Index 0 is always the first sample.
     """
+    # Integer-valued op: cut the AD path (the reference marks backward
+    # None, `pointnet2_utils.py:75-77`) — vote-FPS runs on params-
+    # dependent coordinates, and Pallas kernels have no JVP rule.
+    xyz = jax.lax.stop_gradient(xyz)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:

@@ -1,0 +1,8 @@
+"""Device mesh / data-parallel training utilities."""
+
+from backtoreality_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    process_shard_info,
+)

@@ -1,0 +1,56 @@
+"""Mesh construction and data-parallel sharding.
+
+The TPU-native equivalent of the reference's parallelism stack
+(SURVEY.md §2.5): nn.DataParallel / NCCL DDP + DistributedSampler
+become a `jax.sharding.Mesh` with a 'data' axis; the train step is
+jitted with the batch sharded over 'data' and the state replicated.
+XLA inserts the gradient all-reduce (psum over ICI) automatically, and
+batch-norm statistics are computed over the *global* batch — the
+built-in equivalent of SyncBatchNorm (`detector.py:124-125`).
+
+Multi-host: call `jax.distributed.initialize()` before `make_mesh()`;
+per-host input pipelines shard the scan list by `jax.process_index()`
+(see `process_shard_info`), mirroring DistributedSampler.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: int | None = None, axis_name: str = "data"
+              ) -> Mesh:
+    """1-D data-parallel mesh over all (or the first N) devices."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree fully-replicated on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Place a host batch dict with the leading dim sharded over
+    `axis_name`. Batch size must divide the mesh size."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.device_put(batch, sharding)
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def process_shard_info() -> tuple[int, int]:
+    """(num_shards, shard_index) for per-host input pipelines."""
+    return jax.process_count(), jax.process_index()

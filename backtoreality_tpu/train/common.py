@@ -1,0 +1,259 @@
+"""Shared training machinery: state, schedules, checkpoints, logging.
+
+Replaces the per-driver boilerplate of the 8 reference train scripts:
+Adam/AdamW + epoch-step or warmup+cosine LR schedules (stepped without
+recompilation via optax.inject_hyperparams), torch-style BN momentum
+schedule, checkpoint save/restore with cross-stage partial restore
+(the `strict=False` grafting BR -> CenterRefine relies on,
+`train_Votenet_BR_CenterRefine.py:213-218`), and a rank-aware logger.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import pathlib
+import sys
+import typing as tp
+
+import numpy as np
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct, serialization
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: tp.Any
+    batch_stats: tp.Any
+    opt_state: tp.Any
+
+
+# ---------------------------------------------------------------------------
+# Schedules
+# ---------------------------------------------------------------------------
+
+
+def step_lr(base_lr: float, decay_steps: tp.Sequence[int],
+            decay_rates: tp.Sequence[float]):
+    """Reference epoch-step decay (`train_Votenet_FSB.py:191-201`):
+    lr = base * prod(rate_i for step_i <= epoch)."""
+
+    def schedule(epoch: int) -> float:
+        lr = base_lr
+        for s, r in zip(decay_steps, decay_rates):
+            if epoch >= s:
+                lr *= r
+        return lr
+
+    return schedule
+
+
+def bn_momentum_fn(init=0.5, step=20, rate=0.5, floor=0.001):
+    """`train_Votenet_FSB.py:91-95,186-189`."""
+
+    def schedule(epoch: int) -> float:
+        return max(init * rate ** (epoch // step), floor)
+
+    return schedule
+
+
+def warmup_step_lr(base_lr: float, warmup_epochs: int, warmup_factor: float,
+                   decay_epochs: tp.Sequence[int], decay_rate: float,
+                   steps_per_epoch: int):
+    """GF-style per-iteration warmup + epoch multistep
+    (`utils/lr_scheduler.py:6-87`). Returns f(global_step) -> lr."""
+
+    def schedule(it: int) -> float:
+        e = it / max(steps_per_epoch, 1)
+        if e < warmup_epochs:
+            alpha = e / warmup_epochs
+            factor = warmup_factor * (1 - alpha) + alpha
+            return base_lr * factor
+        lr = base_lr
+        for d in decay_epochs:
+            if e >= d:
+                lr *= decay_rate
+        return lr
+
+    return schedule
+
+
+def cosine_lr(base_lr: float, warmup_epochs: int, warmup_factor: float,
+              total_epochs: int, steps_per_epoch: int,
+              eta_min: float = 0.0):
+    def schedule(it: int) -> float:
+        e = it / max(steps_per_epoch, 1)
+        if e < warmup_epochs:
+            alpha = e / warmup_epochs
+            factor = warmup_factor * (1 - alpha) + alpha
+            return base_lr * factor
+        t = (e - warmup_epochs) / max(total_epochs - warmup_epochs, 1e-9)
+        return eta_min + (base_lr - eta_min) * 0.5 * (
+            1 + np.cos(np.pi * min(t, 1.0)))
+
+    return schedule
+
+
+def make_optimizer(kind: str = "adam", weight_decay: float = 0.0,
+                   grad_clip: float | None = None, lr0: float = 1e-3):
+    """Optimizer with an injectable learning rate: schedules are stepped
+    host-side by swapping the hyperparam leaf — no recompiles."""
+    if kind not in ("adam", "adamw"):
+        raise ValueError(kind)
+
+    def _build(learning_rate):
+        inner = []
+        if grad_clip is not None:
+            inner.append(optax.clip_by_global_norm(grad_clip))
+        if kind == "adamw" or weight_decay:
+            inner.append(optax.adamw(learning_rate,
+                                     weight_decay=weight_decay))
+        else:
+            inner.append(optax.adam(learning_rate))
+        return optax.chain(*inner)
+
+    return optax.inject_hyperparams(_build)(learning_rate=lr0)
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    """Return a TrainState with the injected learning rate replaced."""
+    opt_state = state.opt_state._replace(
+        hyperparams={**state.opt_state.hyperparams,
+                     "learning_rate": jnp.asarray(lr, jnp.float32)})
+    return state.replace(opt_state=opt_state)
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(path, state: TrainState, epoch: int, extra=None):
+    """Single-writer (process 0) msgpack checkpoint with metadata."""
+    if jax.process_index() != 0:
+        return
+    path = pathlib.Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    payload = {
+        "epoch": epoch,
+        "state": serialization.to_state_dict(
+            jax.device_get(state)),
+    }
+    if extra:
+        payload["extra"] = extra
+    blob = serialization.msgpack_serialize(payload)
+    tmp = path.with_suffix(".tmp")
+    tmp.write_bytes(blob)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path):
+    """Returns (state_dict, epoch, extra) — raw trees, not TrainState."""
+    blob = pathlib.Path(path).read_bytes()
+    payload = serialization.msgpack_restore(blob)
+    return payload["state"], payload["epoch"], payload.get("extra")
+
+
+def restore_state(state: TrainState, state_dict,
+                  restore_opt: bool = True) -> TrainState:
+    """Strict full restore into an existing TrainState template."""
+    if not restore_opt:
+        state_dict = dict(state_dict)
+        state_dict["opt_state"] = serialization.to_state_dict(
+            jax.device_get(state)).get("opt_state")
+        state_dict["step"] = serialization.to_state_dict(
+            jax.device_get(state)).get("step")
+    return serialization.from_state_dict(state, state_dict)
+
+
+def partial_restore(target_tree, source_tree, log=None):
+    """The `strict=False` analog: copy every leaf whose path exists in
+    both trees with a matching shape; keep the target's value elsewhere
+    (new heads keep their fresh init). Works on nested dicts."""
+    copied, skipped = [], []
+
+    def merge(dst, src, prefix=""):
+        out = {}
+        for key, dval in dst.items():
+            pref = f"{prefix}/{key}"
+            if isinstance(dval, dict):
+                sval = src.get(key) if isinstance(src, dict) else None
+                out[key] = merge(dval, sval or {}, pref)
+            else:
+                sval = src.get(key) if isinstance(src, dict) else None
+                if sval is not None and np.shape(sval) == np.shape(dval):
+                    out[key] = jnp.asarray(sval)
+                    copied.append(pref)
+                else:
+                    out[key] = dval
+                    skipped.append(pref)
+        return out
+
+    merged = merge(target_tree, source_tree)
+    if log:
+        log(f"partial restore: copied {len(copied)} leaves, "
+            f"kept {len(skipped)} fresh")
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# Logging / metrics
+# ---------------------------------------------------------------------------
+
+
+def setup_logger(log_dir, name="btr", rank: int | None = None):
+    """Rank-aware file+stdout logger (`utils/logger.py:30-95` analog)."""
+    if rank is None:
+        rank = jax.process_index()
+    logger = logging.getLogger(f"{name}.{rank}")
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    fmt = logging.Formatter(
+        "[%(asctime)s %(name)s] %(message)s", datefmt="%H:%M:%S")
+    if rank == 0:
+        sh = logging.StreamHandler(sys.stdout)
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
+    if log_dir is not None:
+        pathlib.Path(log_dir).mkdir(parents=True, exist_ok=True)
+        suffix = "" if rank == 0 else f".rank{rank}"
+        fh = logging.FileHandler(
+            os.path.join(log_dir, f"log_train.txt{suffix}"))
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+    logger.propagate = False
+    return logger
+
+
+class MetricMeter:
+    """Running means of scalar stats (the reference accumulates every
+    end_points key containing loss/acc/ratio,
+    `train_Votenet_FSB.py:233-243`)."""
+
+    def __init__(self):
+        self.sums = {}
+        self.count = 0
+
+    def update(self, scalars: dict):
+        for key, v in scalars.items():
+            v = np.asarray(v)
+            if v.ndim == 0:
+                self.sums[key] = self.sums.get(key, 0.0) + float(v)
+        self.count += 1
+
+    def means(self):
+        return {k: v / max(self.count, 1) for k, v in self.sums.items()}
+
+    def reset(self):
+        self.sums, self.count = {}, 0
+
+
+def dump_config(log_dir, flags: dict):
+    if jax.process_index() == 0 and log_dir:
+        path = pathlib.Path(log_dir) / "config.json"
+        path.write_text(json.dumps(flags, indent=2, default=str))

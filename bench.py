@@ -1,0 +1,76 @@
+"""Benchmark: VoteNet fwd+bwd training throughput (scenes/sec/chip).
+
+The BASELINE.json north-star metric: 40k-point VoteNet train step
+(forward + loss + backward + optimizer), batch 8, on one chip. The
+baseline row is the 2080Ti PyTorch reference (~16 scenes/s measured
+class of hardware for this model/batch in the reference configuration).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_SCENES_PER_SEC = 16.0  # 2080Ti PyTorch reference class
+BATCH = 8
+NUM_POINTS = 40000
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from backtoreality_tpu.data import scannet_md40_config
+    from backtoreality_tpu.losses import votenet as vote_losses
+    from backtoreality_tpu.parallel import make_mesh, replicate, shard_batch
+    from backtoreality_tpu.train import common
+    from backtoreality_tpu.train.votenet import (
+        build_model,
+        init_state,
+        make_train_step,
+    )
+    from __graft_entry__ import _example_batch, _flags
+
+    cfg = scannet_md40_config()
+    model = build_model(_flags(num_target=256), cfg)
+    optimizer = common.make_optimizer("adam", lr0=1e-3)
+    mesh = make_mesh(1)
+
+    rng_np = np.random.default_rng(0)
+    batch = _example_batch(cfg, BATCH, NUM_POINTS, rng_np)
+    # realistic geometry: cluster points around box-like blobs
+    rng = jax.random.PRNGKey(0)
+    state = init_state(
+        model, optimizer, (jnp.asarray(batch["point_clouds"][:1]),), rng)
+    state = replicate(state, mesh)
+    dev_batch = shard_batch(batch, mesh)
+    train_step = make_train_step(model, optimizer, vote_losses.get_loss,
+                                 cfg)
+    bnm = jnp.asarray(0.5, jnp.float32)
+
+    # warmup / compile (the value fetch forces completion — on tunneled
+    # devices block_until_ready alone is unreliable)
+    state, aux = train_step(state, dev_batch, rng, bnm)
+    float(aux["loss"])
+
+    iters = 40
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, aux = train_step(state, dev_batch, rng, bnm)
+    assert np.isfinite(float(aux["loss"]))  # sync point
+    dt = time.perf_counter() - t0
+
+    scenes_per_sec = BATCH * iters / dt
+    print(json.dumps({
+        "metric": "votenet_fsb_train_scenes_per_sec_per_chip",
+        "value": round(scenes_per_sec, 3),
+        "unit": "scenes/s/chip (B=8, N=40000, fwd+bwd+opt)",
+        "vs_baseline": round(scenes_per_sec / BASELINE_SCENES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -65,6 +65,7 @@ class DetectionDataset:
         center_jitter: float = 0.0,
         rot_range: float | None = None,
         seed: int = 0,
+        gf_labels: bool = False,
     ):
         self.config = config
         self.data_path = pathlib.Path(data_path)
@@ -74,6 +75,10 @@ class DetectionDataset:
         self.augment = augment
         self.center_jitter = center_jitter
         self.seed = seed
+        # GroupFree-style labels: +1000 padding for unused GT centers and
+        # per-point instance assignment for KPS supervision
+        # (`GroupFree3D/scannet/scannet_detection_dataset.py:213-233,261`)
+        self.gf_labels = gf_labels
         self.rotated_boxes = config.num_heading_bin > 1
         # scannet: +-5 deg; matterport: +-30 deg
         if rot_range is None:
@@ -196,9 +201,15 @@ class DetectionDataset:
             else:
                 target_bboxes = rotate_aligned_boxes(target_bboxes, rot_mat)
 
-        # vote labels AFTER augmentation, from instance point extents
+        # labels AFTER augmentation, from instance point extents
+        gt_centers_pre = target_bboxes[:, 0:3].copy()
+        if self.gf_labels:
+            # GF pads unused centers far away before instance matching
+            gt_centers_pre[nobj:, :] += 1000.0
         point_votes = np.zeros((self.num_points, 3))
         point_votes_mask = np.zeros(self.num_points)
+        point_obj_mask = np.zeros(self.num_points)
+        point_instance_label = np.zeros(self.num_points) - 1
         raw_id_set = set(int(r) for r in cfg.raw_ids)
         for i_instance in np.unique(instance_labels):
             ind = np.where(instance_labels == i_instance)[0]
@@ -207,6 +218,11 @@ class DetectionDataset:
                 center = 0.5 * (x.min(0) + x.max(0))
                 point_votes[ind, :] = center - x
                 point_votes_mask[ind] = 1.0
+                if self.gf_labels:
+                    ilabel = np.argmin(
+                        ((center - gt_centers_pre) ** 2).sum(-1))
+                    point_instance_label[ind] = ilabel
+                    point_obj_mask[ind] = 1.0
         point_votes = np.tile(point_votes, (1, 3))
 
         angle_classes = np.zeros(k_max)
@@ -228,7 +244,7 @@ class DetectionDataset:
             target_bboxes[:nobj, 3:6] - cfg.mean_size_arr[class_ind])
         size_gts[:nobj] = target_bboxes[:nobj, 3:6]
 
-        gt_centers = target_bboxes[:, 0:3].copy()
+        gt_centers = gt_centers_pre.copy()
         center_jitter = size_gts * self.delta[idx]
         if self.center_jitter != 0:
             gt_centers += center_jitter
@@ -242,7 +258,7 @@ class DetectionDataset:
         else:
             cloud_label = np.zeros(cfg.num_class)
 
-        return {
+        out = {
             "point_clouds": point_cloud.astype(np.float32),
             "center_label": gt_centers.astype(np.float32),
             "center_jitter": center_jitter.astype(np.float32),
@@ -258,6 +274,12 @@ class DetectionDataset:
             "vote_label_mask": point_votes_mask.astype(np.int32),
             "scan_idx": np.int32(idx),
         }
+        if self.gf_labels:
+            out["point_obj_mask"] = point_obj_mask.astype(np.int32)
+            out["point_instance_label"] = point_instance_label.astype(
+                np.int32)
+            out["supervised_mask"] = np.int32(0)
+        return out
 
     def __getitem__(self, idx):
         return self.get(idx)

@@ -46,17 +46,22 @@ def _in_hull(p, hull_points):
     return Delaunay(hull_points).find_simplex(p) >= 0
 
 
-def parse_predictions(end_points, config_dict):
+def parse_predictions(end_points, config_dict, prefix=""):
     """Returns batch_pred_map_cls: per scan, a list of
-    (class, (8,3) corners, score)."""
+    (class, (8,3) corners, score).
+
+    With a `prefix` (GF per-head eval, GF `ap_helper.py:69-207`), keys
+    are read as f'{prefix}center' etc. and objectness is a single
+    sigmoid logit instead of a 2-way softmax."""
     cfg = config_dict["dataset_config"]
-    pred_center = np.asarray(end_points["center"])  # (B, K, 3)
-    heading_scores = np.asarray(end_points["heading_scores"])
-    heading_residuals = np.asarray(end_points["heading_residuals"])
-    size_scores = np.asarray(end_points["size_scores"])
-    size_residuals = np.asarray(end_points["size_residuals"])
-    sem_cls_scores = np.asarray(end_points["sem_cls_scores"])
-    obj_logits = np.asarray(end_points["objectness_scores"])
+    pred_center = np.asarray(end_points[f"{prefix}center"])  # (B, K, 3)
+    heading_scores = np.asarray(end_points[f"{prefix}heading_scores"])
+    heading_residuals = np.asarray(
+        end_points[f"{prefix}heading_residuals"])
+    size_scores = np.asarray(end_points[f"{prefix}size_scores"])
+    size_residuals = np.asarray(end_points[f"{prefix}size_residuals"])
+    sem_cls_scores = np.asarray(end_points[f"{prefix}sem_cls_scores"])
+    obj_logits = np.asarray(end_points[f"{prefix}objectness_scores"])
 
     bsize, K = pred_center.shape[:2]
     pred_heading_class = np.argmax(heading_scores, -1)  # (B, K)
@@ -67,7 +72,10 @@ def parse_predictions(end_points, config_dict):
         size_residuals, pred_size_class[..., None, None], axis=2)[:, :, 0]
     pred_sem_cls = np.argmax(sem_cls_scores, -1)
     sem_cls_probs = softmax(sem_cls_scores)
-    obj_prob = softmax(obj_logits)[:, :, 1]
+    if obj_logits.shape[-1] == 1:
+        obj_prob = 1.0 / (1.0 + np.exp(-obj_logits[:, :, 0]))
+    else:
+        obj_prob = softmax(obj_logits)[:, :, 1]
 
     # Vectorized decode (replaces `ap_helper.py:99-106` python loop)
     heading_angle = _vectorized_class2angle(

@@ -71,9 +71,9 @@ class GroupFreeDetectorDA(GroupFreeDetector):
                 qp_in = jnp.concatenate([base_xyz, base_size], -1)
             else:
                 qp_in = base_xyz
-            query_pos_embed = self.self_posembeds[i](
+            query_pos_embed = self.decoder_self_posembeds[i](
                 qp_in, train=train, bn_momentum=bn_momentum)
-            key_pos_embed = self.cross_posembeds[i](
+            key_pos_embed = self.decoder_cross_posembeds[i](
                 key_pos, train=train, bn_momentum=bn_momentum)
             query = self.decoder[i](
                 query, key, query_pos_embed, key_pos_embed, train=train)
@@ -144,9 +144,9 @@ class GroupFreeDetectorDAJitter(GroupFreeDetector):
                 qp_in = jnp.concatenate([base_xyz, base_size], -1)
             else:
                 qp_in = base_xyz
-            query_pos_embed = self.self_posembeds[i](
+            query_pos_embed = self.decoder_self_posembeds[i](
                 qp_in, train=train, bn_momentum=bn_momentum)
-            key_pos_embed = self.cross_posembeds[i](
+            key_pos_embed = self.decoder_cross_posembeds[i](
                 key_pos, train=train, bn_momentum=bn_momentum)
             query = self.decoder[i](
                 query, key, query_pos_embed, key_pos_embed, train=train)

@@ -59,11 +59,11 @@ class GroupFreeDetector(nn.Module):
             self.decoder_key_proj = nn.Dense(288, dtype=self.dtype)
             self.decoder_query_proj = nn.Dense(288, dtype=self.dtype)
             if self.self_position_embedding != "none":
-                self.self_posembeds = [
+                self.decoder_self_posembeds = [
                     PositionEmbeddingLearned(288, dtype=self.dtype)
                     for _ in range(self.num_decoder_layers)]
             if self.cross_position_embedding != "none":
-                self.cross_posembeds = [
+                self.decoder_cross_posembeds = [
                     PositionEmbeddingLearned(288, dtype=self.dtype)
                     for _ in range(self.num_decoder_layers)]
             self.decoder = [
@@ -125,10 +125,10 @@ class GroupFreeDetector(nn.Module):
             if self.self_position_embedding == "none":
                 query_pos_embed = None
             elif self.self_position_embedding == "xyz_learned":
-                query_pos_embed = self.self_posembeds[i](
+                query_pos_embed = self.decoder_self_posembeds[i](
                     base_xyz, train=train, bn_momentum=bn_momentum)
             elif self.self_position_embedding == "loc_learned":
-                query_pos_embed = self.self_posembeds[i](
+                query_pos_embed = self.decoder_self_posembeds[i](
                     jnp.concatenate([base_xyz, base_size], -1),
                     train=train, bn_momentum=bn_momentum)
             else:
@@ -136,7 +136,7 @@ class GroupFreeDetector(nn.Module):
             if self.cross_position_embedding == "none":
                 key_pos_embed = None
             else:
-                key_pos_embed = self.cross_posembeds[i](
+                key_pos_embed = self.decoder_cross_posembeds[i](
                     key_pos, train=train, bn_momentum=bn_momentum)
 
             query = self.decoder[i](

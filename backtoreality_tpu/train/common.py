@@ -128,6 +128,45 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     return state.replace(opt_state=opt_state)
 
 
+def make_gf_optimizer(lr0: float, decoder_lr0: float,
+                      weight_decay: float = 5e-4,
+                      grad_clip: float = 0.1):
+    """GF optimizer: AdamW with a separate decoder learning rate
+    (`train_GF_FSB.py:234-244`: params whose name contains 'decoder' use
+    decoder_learning_rate) and global-norm clipping, both rates
+    injectable for per-iteration scheduling."""
+
+    def label_fn(params):
+        return {k: ("decoder" if k.startswith("decoder") else "main")
+                for k in params}
+
+    def _build(learning_rate, decoder_learning_rate):
+        return optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            optax.multi_transform(
+                {"main": optax.adamw(learning_rate,
+                                     weight_decay=weight_decay),
+                 "decoder": optax.adamw(decoder_learning_rate,
+                                        weight_decay=weight_decay)},
+                label_fn),
+        )
+
+    return optax.inject_hyperparams(_build)(
+        learning_rate=lr0, decoder_learning_rate=decoder_lr0)
+
+
+def set_gf_learning_rates(state: TrainState, lr: float,
+                          decoder_lr: float) -> TrainState:
+    opt_state = state.opt_state._replace(
+        hyperparams={
+            **state.opt_state.hyperparams,
+            "learning_rate": jnp.asarray(lr, jnp.float32),
+            "decoder_learning_rate": jnp.asarray(decoder_lr,
+                                                 jnp.float32),
+        })
+    return state.replace(opt_state=opt_state)
+
+
 # ---------------------------------------------------------------------------
 # Checkpointing
 # ---------------------------------------------------------------------------

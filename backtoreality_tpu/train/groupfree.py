@@ -14,6 +14,7 @@ CLI flags mirror `train_GF_FSB.py:23-103`.
 from __future__ import annotations
 
 import argparse
+import functools
 import time
 
 import numpy as np
@@ -177,7 +178,11 @@ def _scalars(aux):
 
 
 def init_state(model, optimizer, sample_args, rng):
-    variables = model.init(rng, *sample_args, train=False)
+    # jit the init: unjitted tracing dispatches thousands of tiny ops
+    # individually (minutes over a tunneled device); one compiled
+    # program initialises in seconds
+    init_fn = jax.jit(functools.partial(model.init, train=False))
+    variables = init_fn(rng, *sample_args)
     params = variables["params"]
     return common.TrainState(
         step=jnp.zeros((), jnp.int32),

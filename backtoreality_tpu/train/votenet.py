@@ -110,7 +110,11 @@ def build_model(flags, cfg, kind="plain"):
 
 
 def init_state(model, optimizer, sample_args, rng):
-    variables = model.init(rng, *sample_args, train=False)
+    # jit the init: unjitted tracing dispatches thousands of tiny ops
+    # individually (minutes over a tunneled device); one compiled
+    # program initialises in seconds
+    init_fn = jax.jit(functools.partial(model.init, train=False))
+    variables = init_fn(rng, *sample_args)
     params = variables["params"]
     return common.TrainState(
         step=jnp.zeros((), jnp.int32),

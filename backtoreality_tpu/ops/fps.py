@@ -133,13 +133,20 @@ def _fps_kernel(xyzt_ref, out_ref, mind_ref):
 @functools.partial(jax.jit, static_argnums=(1,))
 def _fps_pallas(xyz: jax.Array, npoint: int) -> jax.Array:
     b, n, _ = xyz.shape
+    # Lane-align N: unaligned lane dims drive Mosaic into a scalar slow
+    # path (~2000x at N=40000). Zero padding is the native padding
+    # convention — padded points are skipped by the ||p||^2 rule.
+    n_pad = -(-n // 128) * 128
+    if n_pad != n:
+        xyz = jnp.concatenate(
+            [xyz, jnp.zeros((b, n_pad - n, 3), xyz.dtype)], axis=1)
     xyzt = jnp.transpose(xyz.astype(jnp.float32), (2, 0, 1))  # (3, B, N)
     return pl.pallas_call(
         _fps_kernel,
         out_shape=jax.ShapeDtypeStruct((b, npoint), jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((b, n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((b, n_pad), jnp.float32)],
         interpret=pallas_interpret(),
     )(xyzt)
 

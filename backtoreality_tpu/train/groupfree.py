@@ -117,6 +117,8 @@ def add_flags(parser: argparse.ArgumentParser):
     parser.add_argument("--num_devices", type=int, default=None)
     parser.add_argument("--query_mode", default="stratified",
                         choices=["stratified", "exact"])
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 model compute (f32 params/stats)")
     parser.add_argument("--train_split", default="train")
     parser.add_argument("--val_split", default="val")
     parser.add_argument("--val_data_root", default=None)
@@ -144,6 +146,8 @@ def build_model(flags, cfg, kind="plain"):
         self_position_embedding=flags.self_position_embedding,
         cross_position_embedding=flags.cross_position_embedding,
         query_mode=flags.query_mode,
+        dtype=jnp.bfloat16 if getattr(flags, "bf16", False)
+        else jnp.float32,
     )
     if kind == "plain":
         return GroupFreeDetector(**kwargs)

@@ -81,6 +81,8 @@ def add_common_flags(parser: argparse.ArgumentParser):
     parser.add_argument("--num_devices", type=int, default=None)
     parser.add_argument("--query_mode", default="stratified",
                         choices=["stratified", "exact"])
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 model compute (f32 params/stats)")
     return parser
 
 
@@ -99,6 +101,8 @@ def build_model(flags, cfg, kind="plain"):
         vote_factor=flags.vote_factor,
         sampling=flags.cluster_sampling,
         query_mode=flags.query_mode,
+        dtype=jnp.bfloat16 if getattr(flags, "bf16", False)
+        else jnp.float32,
     )
     if kind == "plain":
         return VoteNet(**kwargs)

@@ -270,6 +270,58 @@ def get_loss_weak(end_points, config):
     return loss, aux
 
 
+def compute_objectness_loss_boxnet(end_points):
+    """BoxNet objectness (`loss_helper_boxnet.py:20-61`): the label is
+    the seed's GT vote mask gathered through the aggregation indices —
+    no near/far don't-care zone."""
+    aggregated_vote_xyz = end_points["aggregated_vote_xyz"]
+    gt_center = end_points["center_label"][:, :, 0:3]
+    _, ind1, _, _ = nn_distance(aggregated_vote_xyz, gt_center)
+
+    seed_inds = end_points["seed_inds"].astype(jnp.int32)
+    seed_labels = jnp.take_along_axis(
+        end_points["vote_label_mask"], seed_inds, axis=1)
+    agg_inds = end_points["aggregated_vote_inds"].astype(jnp.int32)
+    objectness_label = jnp.take_along_axis(
+        seed_labels, agg_inds, axis=1).astype(jnp.int32)
+    objectness_mask = jnp.ones_like(objectness_label, jnp.float32)
+
+    loss = softmax_ce(end_points["objectness_scores"], objectness_label,
+                      OBJECTNESS_CLS_WEIGHTS)
+    loss = masked_mean(loss, objectness_mask)
+    return loss, objectness_label, objectness_mask, ind1
+
+
+def get_loss_boxnet(end_points, config):
+    """BoxNet criterion (`loss_helper_boxnet.py:64-122`): no vote loss,
+    (0.5*obj + box + 0.1*sem) * 10."""
+    aux = {}
+    (objectness_loss, objectness_label, objectness_mask,
+     object_assignment) = compute_objectness_loss_boxnet(end_points)
+    aux.update(objectness_loss=objectness_loss,
+               objectness_label=objectness_label,
+               objectness_mask=objectness_mask,
+               object_assignment=object_assignment)
+    end_points = dict(end_points, objectness_label=objectness_label,
+                      object_assignment=object_assignment)
+
+    (center_loss, heading_cls_loss, heading_reg_loss, size_cls_loss,
+     size_reg_loss, sem_cls_loss) = compute_box_and_sem_cls_loss(
+         end_points, config)
+    box_loss = (center_loss + 0.1 * heading_cls_loss + heading_reg_loss
+                + 0.1 * size_cls_loss + size_reg_loss)
+    aux.update(center_loss=center_loss, box_loss=box_loss,
+               sem_cls_loss=sem_cls_loss)
+
+    loss = (0.5 * objectness_loss + box_loss + 0.1 * sem_cls_loss) * 10.0
+    aux["loss"] = loss
+    pos_ratio, neg_ratio, obj_acc = _objectness_stats(
+        end_points, objectness_label, objectness_mask)
+    aux.update(pos_ratio=pos_ratio, neg_ratio=neg_ratio,
+               obj_acc=obj_acc)
+    return loss, aux
+
+
 SOURCE_COEFFICIENT = 0.1
 DA_COEFFICIENT = 0.5
 

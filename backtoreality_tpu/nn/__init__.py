@@ -5,7 +5,9 @@ from backtoreality_tpu.nn.mlp import SharedMLP, PointwiseMLP
 from backtoreality_tpu.nn.sa_fp import (
     SAModuleVotes,
     SAModuleCenters,
+    SAModuleMSG,
     FPModule,
+    group_all,
 )
 
 __all__ = [

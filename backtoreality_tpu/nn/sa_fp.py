@@ -125,6 +125,74 @@ class SAModuleCenters(nn.Module, _GroupMixin):
         return self._pool(new_features, grouped_xyz)
 
 
+def group_all(xyz, features, use_xyz: bool = True):
+    """`GroupAll` (`pointnet2_utils.py:379-427`): the whole cloud as one
+    region. Returns (grouped (B, 1, N, C[+3]), grouped_xyz)."""
+    grouped_xyz = xyz[:, None, :, :]
+    if features is not None:
+        grouped = features[:, None, :, :]
+        if use_xyz:
+            grouped = jnp.concatenate([grouped_xyz, grouped], -1)
+    else:
+        grouped = grouped_xyz
+    return grouped, grouped_xyz
+
+
+class SAModuleMSG(nn.Module):
+    """Multi-scale-grouping set abstraction (`PointnetSAModuleMSG`,
+    `pointnet2_modules.py:77-126`; also covers `PointnetSAModuleMSGVotes`
+    :275-354): one FPS, several (radius, nsample, mlp) branches whose
+    pooled features are concatenated. npoint=None groups the whole
+    cloud (GroupAll)."""
+
+    npoint: int | None
+    radii: tp.Sequence[float]
+    nsamples: tp.Sequence[int]
+    mlps: tp.Sequence[tp.Sequence[int]]
+    use_xyz: bool = True
+    normalize_xyz: bool = False
+    query_mode: str = "stratified"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, features=None, inds=None, *, train: bool,
+                 bn_momentum=0.1):
+        assert len(self.radii) == len(self.nsamples) == len(self.mlps)
+        if self.npoint is not None:
+            if inds is None:
+                inds = ops.furthest_point_sample(xyz, self.npoint)
+            new_xyz = ops.gather_points(xyz, inds)
+        else:
+            new_xyz = None
+
+        outs = []
+        for i, (radius, nsample, mlp) in enumerate(
+                zip(self.radii, self.nsamples, self.mlps)):
+            if self.npoint is None:
+                grouped, _ = group_all(xyz, features, self.use_xyz)
+            else:
+                if self.query_mode == "exact":
+                    idx = ops.ball_query(xyz, new_xyz, radius, nsample)
+                else:
+                    idx = ops.ball_query_stratified(
+                        xyz, new_xyz, radius, nsample)
+                grouped_xyz = (ops.group_points(xyz, idx)
+                               - new_xyz[:, :, None, :])
+                if self.normalize_xyz:
+                    grouped_xyz = grouped_xyz / radius
+                if features is not None:
+                    gf = ops.group_points(features, idx)
+                    grouped = (jnp.concatenate([grouped_xyz, gf], -1)
+                               if self.use_xyz else gf)
+                else:
+                    grouped = grouped_xyz
+            feat = SharedMLP(mlp, dtype=self.dtype,
+                             name=f"mlp{i}")(grouped, train=train,
+                                             bn_momentum=bn_momentum)
+            outs.append(jnp.max(feat, axis=2))
+        return new_xyz, jnp.concatenate(outs, axis=-1), inds
+
+
 class FPModule(nn.Module):
     """Feature propagation (`PointnetFPModule`,
     `pointnet2_modules.py:454-514`): 3-NN inverse-distance interpolation

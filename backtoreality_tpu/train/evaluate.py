@@ -1,0 +1,128 @@
+"""Standalone evaluation entry point.
+
+The reference has no eval script — evaluation only exists inside the
+training drivers (`evaluate_one_epoch`, SURVEY.md §3.5). This exposes
+it first-class: load a checkpoint, run the eval protocol over a split,
+print per-class AP/AR at the requested IoU thresholds.
+
+Usage:
+  python -m backtoreality_tpu.train.evaluate --model votenet \
+      --checkpoint_path log/checkpoint.tar --data_root data [...]
+  python -m backtoreality_tpu.train.evaluate --model groupfree [...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from backtoreality_tpu.data import get_config
+from backtoreality_tpu.data.dataset import DetectionDataset
+from backtoreality_tpu.data.loader import DetectionDataLoader
+from backtoreality_tpu.eval import (
+    APCalculator,
+    parse_groundtruths,
+    parse_predictions,
+)
+from backtoreality_tpu.losses import votenet as vote_losses
+from backtoreality_tpu.losses import groupfree as gf_losses
+from backtoreality_tpu.parallel import make_mesh, replicate, shard_batch
+from backtoreality_tpu.train import common
+from backtoreality_tpu.train import votenet as vn_driver
+from backtoreality_tpu.train import groupfree as gf_driver
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", choices=["votenet", "groupfree"],
+                        default="votenet")
+    if argv is None:
+        import sys
+
+        argv = sys.argv[1:]
+    pre, rest = parser.parse_known_args(argv)
+
+    if pre.model == "votenet":
+        sub = argparse.ArgumentParser()
+        vn_driver.add_common_flags(sub)
+        sub.add_argument("--split", default="val")
+        flags = sub.parse_args(rest)
+        cfg = get_config(flags.dataset)
+        model = vn_driver.build_model(flags, cfg)
+        use_height = not flags.no_height
+        num_point = flags.num_point
+        thresholds = [flags.ap_iou_thresh, 0.5]
+        eval_prefixes = ("",)
+        conf_thresh = 0.05
+    else:
+        sub = argparse.ArgumentParser()
+        gf_driver.add_flags(sub)
+        sub.add_argument("--split", default="val")
+        flags = sub.parse_args(rest)
+        cfg = get_config(flags.dataset)
+        model = gf_driver.build_model(flags, cfg)
+        use_height = flags.use_height
+        num_point = flags.num_point
+        thresholds = flags.ap_iou_thresholds
+        eval_prefixes = ("last_",) if flags.num_decoder_layers > 0 \
+            else ("proposal_",)
+        conf_thresh = 0.0
+
+    assert flags.checkpoint_path, "--checkpoint_path is required"
+    mesh = make_mesh(getattr(flags, "num_devices", None))
+    ds = DetectionDataset(
+        cfg, flags.data_root, split=flags.split, num_points=num_point,
+        use_color=flags.use_color, use_height=use_height, augment=False,
+        gf_labels=(pre.model == "groupfree"))
+    loader = DetectionDataLoader(
+        ds, flags.batch_size, shuffle=False, drop_last=False,
+        num_shards=jax.process_count(),
+        shard_index=jax.process_index())
+    print(f"eval scans: {len(ds)}")
+
+    rng = jax.random.PRNGKey(0)
+    sample = next(iter(loader))
+    init_fn = jax.jit(functools.partial(model.init, train=False))
+    variables = init_fn(rng, jnp.asarray(sample["point_clouds"][:1]))
+    sd, epoch, _ = common.load_checkpoint(flags.checkpoint_path)
+    params = common.partial_restore(
+        jax.device_get(variables["params"]), sd["params"], log=print)
+    batch_stats = common.partial_restore(
+        jax.device_get(variables["batch_stats"]), sd["batch_stats"],
+        log=print)
+    print(f"loaded checkpoint from epoch {epoch}")
+    variables = replicate(
+        {"params": params, "batch_stats": batch_stats}, mesh)
+
+    @jax.jit
+    def forward(variables, point_clouds):
+        return model.apply(variables, point_clouds, train=False)
+
+    config_dict = dict(
+        remove_empty_box=False, use_3d_nms=True, nms_iou=0.25,
+        use_old_type_nms=False, cls_nms=True, per_class_proposal=True,
+        conf_thresh=conf_thresh, dataset_config=cfg)
+    calcs = {(p, t): APCalculator(t, cfg.class2type)
+             for p in eval_prefixes for t in thresholds}
+    for batch in loader:
+        pc = shard_batch({"point_clouds": batch["point_clouds"]},
+                         mesh)["point_clouds"]
+        outs = jax.device_get(forward(variables, pc))
+        gts = parse_groundtruths(batch, config_dict)
+        for prefix in eval_prefixes:
+            preds = parse_predictions(outs, config_dict, prefix)
+            for t in thresholds:
+                calcs[(prefix, t)].step(preds, gts)
+
+    for (prefix, t), calc in calcs.items():
+        metrics = calc.compute_metrics()
+        print(f"===== {prefix or 'votenet'} @ IoU {t} =====")
+        for key in sorted(metrics):
+            print(f"  {key}: {metrics[key]:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -97,7 +97,12 @@ def _poly_area(poly: np.ndarray) -> float:
 def _clip_polygon(subject: np.ndarray, clip: np.ndarray):
     """Sutherland-Hodgman: clip `subject` by convex CCW polygon `clip`.
 
-    Returns the intersection polygon as an (K, 2) array or None if empty.
+    Returns the intersection polygon as an (K, 2) array or None if
+    empty. Differs from the reference's rosetta-code version in two
+    robustness details: boundary points count as inside (non-strict
+    test, so identical/touching boxes clip to themselves), and
+    near-parallel edge intersections are skipped instead of producing
+    garbage coordinates.
     """
     output = [tuple(p) for p in subject]
     cp1 = tuple(clip[-1])
@@ -108,16 +113,20 @@ def _clip_polygon(subject: np.ndarray, clip: np.ndarray):
         ex, ey = cp2[0] - cp1[0], cp2[1] - cp1[1]
 
         def is_inside(p):
-            return ex * (p[1] - cp1[1]) > ey * (p[0] - cp1[0])
+            return ex * (p[1] - cp1[1]) >= ey * (p[0] - cp1[0])
 
         s = input_list[-1]
         for e in input_list:
             if is_inside(e):
                 if not is_inside(s):
-                    output.append(_line_intersect(cp1, cp2, s, e))
+                    pt = _line_intersect(cp1, cp2, s, e)
+                    if pt is not None:
+                        output.append(pt)
                 output.append(e)
             elif is_inside(s):
-                output.append(_line_intersect(cp1, cp2, s, e))
+                pt = _line_intersect(cp1, cp2, s, e)
+                if pt is not None:
+                    output.append(pt)
             s = e
         cp1 = cp2
     if not output:
@@ -128,9 +137,12 @@ def _clip_polygon(subject: np.ndarray, clip: np.ndarray):
 def _line_intersect(a1, a2, b1, b2):
     dc = (a1[0] - a2[0], a1[1] - a2[1])
     dp = (b1[0] - b2[0], b1[1] - b2[1])
+    denom = dc[0] * dp[1] - dc[1] * dp[0]
+    if abs(denom) < 1e-12:
+        return None
     n1 = a1[0] * a2[1] - a1[1] * a2[0]
     n2 = b1[0] * b2[1] - b1[1] * b2[0]
-    n3 = 1.0 / (dc[0] * dp[1] - dc[1] * dp[0])
+    n3 = 1.0 / denom
     return ((n1 * dp[0] - n2 * dc[0]) * n3, (n1 * dp[1] - n2 * dc[1]) * n3)
 
 

@@ -26,6 +26,20 @@ import optax
 from flax import struct, serialization
 
 
+def enable_compilation_cache(path: str | None = None):
+    """Persistent XLA compilation cache: driver restarts (resume,
+    multi-stage recipes) reuse compiled executables instead of paying
+    minutes of AOT compilation per process."""
+    path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                  "/tmp/jax_compilation_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except (AttributeError, ValueError):
+        pass  # older jax without these options
+
+
 class TrainState(struct.PyTreeNode):
     step: jax.Array
     params: tp.Any

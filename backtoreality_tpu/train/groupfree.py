@@ -39,6 +39,7 @@ from backtoreality_tpu.models.groupfree import (
 )
 from backtoreality_tpu.parallel import make_mesh, replicate, shard_batch
 from backtoreality_tpu.train import common
+from backtoreality_tpu.train.observability import ScalarHistory
 
 GF_EVAL_CONFIG_DICT = dict(
     remove_empty_box=False, use_3d_nms=True, nms_iou=0.25,
@@ -119,6 +120,10 @@ def add_flags(parser: argparse.ArgumentParser):
                         choices=["stratified", "exact"])
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 model compute (f32 params/stats)")
+    parser.add_argument("--resume", action="store_true",
+                        help="restore full state + epoch from"
+                             " --checkpoint_path and continue")
+    parser.add_argument("--profile_dir", default=None)
     parser.add_argument("--train_split", default="train")
     parser.add_argument("--val_split", default="val")
     parser.add_argument("--val_data_root", default=None)
@@ -376,6 +381,7 @@ def main(recipe: str, argv=None):
         parser.add_argument("--source_data_root", required=True)
     flags = parser.parse_args(argv)
 
+    common.enable_compilation_cache()
     cfg = get_config(flags.dataset)
     logger = common.setup_logger(flags.log_dir, name="gf")
     common.dump_config(flags.log_dir, vars(flags))
@@ -419,17 +425,25 @@ def main(recipe: str, argv=None):
                         jnp.asarray(sample["sem_cls_label"][:1]))
     state = init_state(model, optimizer, sample_args, rng)
 
+    start_epoch = 0
     if flags.checkpoint_path:
         sd, ckpt_epoch, _ = common.load_checkpoint(flags.checkpoint_path)
-        params = common.partial_restore(
-            jax.device_get(state.params), sd["params"], log=logger.info)
-        batch_stats = common.partial_restore(
-            jax.device_get(state.batch_stats), sd["batch_stats"],
-            log=logger.info)
-        state = state.replace(params=params, batch_stats=batch_stats)
+        if flags.resume:
+            state = common.restore_state(state, sd, restore_opt=True)
+            start_epoch = ckpt_epoch + 1
+        else:
+            params = common.partial_restore(
+                jax.device_get(state.params), sd["params"],
+                log=logger.info)
+            batch_stats = common.partial_restore(
+                jax.device_get(state.batch_stats), sd["batch_stats"],
+                log=logger.info)
+            state = state.replace(params=params,
+                                  batch_stats=batch_stats)
         logger.info("restored %s (epoch %d)", flags.checkpoint_path,
                     ckpt_epoch)
     state = replicate(state, mesh)
+    history = ScalarHistory(flags.log_dir)
 
     if da:
         train_step = make_da_train_step(model, optimizer, cfg,
@@ -449,8 +463,8 @@ def main(recipe: str, argv=None):
     bnm = jnp.asarray(flags.bn_momentum, jnp.float32)
     ckpt_path = flags.log_dir + "/ckpt_epoch_last.tar"
 
-    host_step = 0
-    for epoch in range(flags.max_epoch):
+    host_step = start_epoch * steps_per_epoch
+    for epoch in range(start_epoch, flags.max_epoch):
         train_loader.set_epoch(epoch)
         if loader_S is not None:
             loader_S.set_epoch(epoch)
@@ -489,6 +503,9 @@ def main(recipe: str, argv=None):
             "%.2f scenes/s)", epoch, lr_fn(host_step),
             means.get("loss", float("nan")), nb, dt,
             nb * flags.batch_size / max(dt, 1e-9))
+        history.append(epoch, means, lr=lr_fn(host_step),
+                       scenes_per_sec=nb * flags.batch_size
+                       / max(dt, 1e-9))
         if (epoch + 1) % flags.save_freq == 0 or \
                 epoch == flags.max_epoch - 1:
             common.save_checkpoint(
@@ -497,6 +514,10 @@ def main(recipe: str, argv=None):
         if (epoch + 1) % flags.val_freq == 0:
             results, _ = evaluate(state, val_loader, eval_step, cfg,
                                   mesh, logger, flags, eval_prefixes)
+            key0 = (eval_prefixes[0], flags.ap_iou_thresholds[0])
+            history.append(epoch, {"mAP": results[key0]["mAP"],
+                                   "AR": results[key0]["AR"]},
+                           kind="eval")
             if da and jax.process_index() == 0:
                 key0 = (eval_prefixes[0], flags.ap_iou_thresholds[0])
                 with open(flags.log_dir + "/Eval_mAP.txt", "a") as f:

@@ -39,6 +39,7 @@ from backtoreality_tpu.models.votenet import (
 )
 from backtoreality_tpu.parallel import make_mesh, replicate, shard_batch
 from backtoreality_tpu.train import common
+from backtoreality_tpu.train.observability import ScalarHistory, profile
 
 EVAL_CONFIG_DICT = dict(
     remove_empty_box=False, use_3d_nms=True, nms_iou=0.25,
@@ -83,6 +84,12 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         choices=["stratified", "exact"])
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 model compute (f32 params/stats)")
+    parser.add_argument("--resume", action="store_true",
+                        help="restore optimizer state + epoch from"
+                             " --checkpoint_path and continue")
+    parser.add_argument("--profile_dir", default=None,
+                        help="jax.profiler trace dir (traces steps"
+                             " 10-15 of the first epoch)")
     return parser
 
 
@@ -249,6 +256,7 @@ def evaluate(state, loader, eval_step, cfg, mesh, logger,
 
 def _train_loop_single(flags, recipe):
     """FSB (full labels) / WSB (weak, center-jittered labels)."""
+    common.enable_compilation_cache()
     cfg = get_config(flags.dataset)
     logger = common.setup_logger(flags.log_dir)
     common.dump_config(flags.log_dir, vars(flags))
@@ -288,10 +296,15 @@ def _train_loop_single(flags, recipe):
     start_epoch = 0
     if flags.checkpoint_path:
         sd, ckpt_epoch, _ = common.load_checkpoint(flags.checkpoint_path)
-        state = common.restore_state(state, sd, restore_opt=False)
-        logger.info("restored weights from %s (epoch %d)",
+        state = common.restore_state(state, sd,
+                                     restore_opt=flags.resume)
+        if flags.resume:
+            start_epoch = ckpt_epoch + 1
+        logger.info("restored %s from %s (epoch %d)",
+                    "full state" if flags.resume else "weights",
                     flags.checkpoint_path, ckpt_epoch)
     state = replicate(state, mesh)
+    history = ScalarHistory(flags.log_dir)
 
     train_step = make_train_step(model, optimizer, criterion, cfg)
     eval_step = make_eval_step(model, criterion, cfg)
@@ -316,7 +329,12 @@ def _train_loop_single(flags, recipe):
             dev_batch = shard_batch(batch, mesh)
             key = jax.random.fold_in(rng, host_step)
             host_step += 1
+            if flags.profile_dir and host_step == 10:
+                jax.profiler.start_trace(flags.profile_dir)
             state, aux = train_step(state, dev_batch, key, bnm)
+            if flags.profile_dir and host_step == 15:
+                jax.block_until_ready(aux["loss"])
+                jax.profiler.stop_trace()
             meter.update(jax.device_get(aux))
             nb += 1
         dt = time.time() - t0
@@ -328,15 +346,22 @@ def _train_loop_single(flags, recipe):
             means.get("loss", float("nan")),
             means.get("obj_acc", float("nan")), nb, dt,
             nb * flags.batch_size / max(dt, 1e-9))
+        history.append(epoch, means, lr=lr_fn(epoch),
+                       scenes_per_sec=nb * flags.batch_size
+                       / max(dt, 1e-9))
         common.save_checkpoint(ckpt_path, state, epoch)
         if (epoch + 1) % flags.eval_freq == 0:
-            evaluate(state, val_loader, eval_step, cfg, mesh, logger,
-                     flags.ap_iou_thresh)
+            metrics, _ = evaluate(state, val_loader, eval_step, cfg,
+                                  mesh, logger, flags.ap_iou_thresh)
+            history.append(epoch, {"mAP": metrics["mAP"],
+                                   "AR": metrics["AR"]},
+                           kind="eval")
     return state
 
 
 def _train_loop_da(flags, recipe):
     """BR (DA) / BR+CenterRefine (DA + jitter head)."""
+    common.enable_compilation_cache()
     cfg = get_config(flags.dataset)
     logger = common.setup_logger(flags.log_dir)
     common.dump_config(flags.log_dir, vars(flags))

@@ -150,9 +150,84 @@ def cmd_synthesize(args):
                   f"scarce objects")
 
 
+def cmd_organize_matterport(args):
+    from backtoreality_tpu.datagen import matterport_adapter as mp
+
+    names = mp.organize_regions(args.houses_dir, args.out)
+    print(f"organized {len(names)} regions")
+
+
+def cmd_export_real_matterport(args):
+    from backtoreality_tpu.datagen import matterport_adapter as mp
+
+    out = pathlib.Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+    for scene_dir in sorted(pathlib.Path(args.scans_dir).iterdir()):
+        if not scene_dir.is_dir():
+            continue
+        verts, sem, ins, bboxes = mp.export_region(
+            scene_dir, max_points=args.max_points, rng=rng)
+        np.save(out / f"{scene_dir.name}_vert.npy",
+                verts.astype(np.float32))
+        np.save(out / f"{scene_dir.name}_sem_label.npy", sem)
+        np.save(out / f"{scene_dir.name}_ins_label.npy", ins)
+        np.save(out / f"{scene_dir.name}_bbox.npy", bboxes)
+        print(f"{scene_dir.name}: {len(verts)} pts, {len(bboxes)} boxes")
+
+
+def cmd_synthesize_matterport(args):
+    from backtoreality_tpu.datagen import matterport_adapter as mp
+
+    out = pathlib.Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    avg_dims = load_avg_dims()
+    rng = np.random.default_rng(args.seed)
+    scene_records = []
+    needed = set()
+    for scene_dir in sorted(pathlib.Path(args.scans_dir).iterdir()):
+        if not scene_dir.is_dir():
+            continue
+        objects, floor_points, _ = mp.export_weak_objects(scene_dir)
+        if not objects:
+            continue
+        scene_records.append((scene_dir.name, objects, floor_points))
+        needed |= {o.class_name for o in objects}
+    library = _build_library(args, sorted(needed))
+    for name, objects, floor_points in scene_records:
+        verts, sem, ins, bboxes = synthesize_scene(
+            objects, library, avg_dims, rng,
+            floor_points=floor_points, hpr=args.hpr,
+            rotated_boxes=True)
+        write_scene(out, name, verts, sem, ins, bboxes)
+        print(f"{name}: {len(verts)} pts, {len(bboxes)} rotated boxes")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("organize-matterport")
+    p.add_argument("--houses_dir", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_organize_matterport)
+
+    p = sub.add_parser("export-real-matterport")
+    p.add_argument("--scans_dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--max_points", type=int, default=50000)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_export_real_matterport)
+
+    p = sub.add_parser("synthesize-matterport")
+    p.add_argument("--scans_dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--modelnet_dir", default=None)
+    p.add_argument("--procedural", action="store_true")
+    p.add_argument("--max_shapes_per_class", type=int, default=20)
+    p.add_argument("--hpr", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_synthesize_matterport)
 
     p = sub.add_parser("export-real")
     p.add_argument("--scans_dir", required=True)

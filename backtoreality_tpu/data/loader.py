@@ -10,6 +10,7 @@ next batch is being built while the device is busy.
 
 from __future__ import annotations
 
+import concurrent.futures
 import queue
 import threading
 
@@ -27,6 +28,7 @@ class DetectionDataLoader:
         num_shards: int = 1,
         shard_index: int = 0,
         prefetch: int = 2,
+        num_workers: int = 4,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -36,6 +38,7 @@ class DetectionDataLoader:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.prefetch = prefetch
+        self.num_workers = num_workers
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -66,11 +69,25 @@ class DetectionDataLoader:
     def _produce(self, out_q: queue.Queue, indices):
         try:
             nb = len(self)
-            for b in range(nb):
-                idxs = indices[b * self.batch_size:(b + 1) * self.batch_size]
-                items = [self.dataset.get(int(i), epoch=self.epoch)
-                         for i in idxs]
-                out_q.put(self._collate(items))
+            if self.num_workers > 1:
+                # per-item fan-out over a thread pool (numpy releases
+                # the GIL for the heavy slicing/labeling work)
+                with concurrent.futures.ThreadPoolExecutor(
+                        self.num_workers) as pool:
+                    for b in range(nb):
+                        idxs = indices[b * self.batch_size:
+                                       (b + 1) * self.batch_size]
+                        items = list(pool.map(
+                            lambda i: self.dataset.get(
+                                int(i), epoch=self.epoch), idxs))
+                        out_q.put(self._collate(items))
+            else:
+                for b in range(nb):
+                    idxs = indices[b * self.batch_size:
+                                   (b + 1) * self.batch_size]
+                    items = [self.dataset.get(int(i), epoch=self.epoch)
+                             for i in idxs]
+                    out_q.put(self._collate(items))
             out_q.put(None)
         except BaseException as e:  # surface worker errors to consumer
             out_q.put(e)

@@ -10,4 +10,9 @@ from backtoreality_tpu.models.votenet.proposal import (
     decode_scores,
 )
 from backtoreality_tpu.models.votenet.votenet import VoteNet
-from backtoreality_tpu.models.votenet.da import VoteNetDA, VoteNetDAJitter
+from backtoreality_tpu.models.votenet.da import (
+    VoteNetDA,
+    VoteNetDAJitter,
+    VoteNetDAJitter2,
+)
+from backtoreality_tpu.models.votenet.boxnet import BoxNet

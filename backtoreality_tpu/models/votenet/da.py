@@ -141,6 +141,86 @@ class VoteNetDA(nn.Module):
             end_points, train=train, bn_momentum=bn_momentum)
 
 
+class VoteNetDAJitter2(nn.Module):
+    """`VoteNet_DA_jitter2` (`votenet_DA.py:335-487`): like the jitter
+    variant, but the center-jitter head groups *aggregated vote*
+    features (detached) around the GT centers instead of backbone sa2
+    features — the plain backbone is used."""
+
+    num_class: int
+    num_heading_bin: int
+    num_size_cluster: int
+    mean_size_arr: tuple
+    input_feature_dim: int = 0
+    num_proposal: int = 256
+    vote_factor: int = 1
+    sampling: str = "vote_fps"
+    query_mode: str = "stratified"
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.backbone_net = Pointnet2Backbone(
+            input_feature_dim=self.input_feature_dim,
+            query_mode=self.query_mode, dtype=self.dtype)
+        self.vgen = VotingModule(self.vote_factor, 256, dtype=self.dtype)
+        self.pnet = ProposalModule(
+            num_class=self.num_class,
+            num_heading_bin=self.num_heading_bin,
+            num_size_cluster=self.num_size_cluster,
+            mean_size_arr=self.mean_size_arr,
+            num_proposal=self.num_proposal,
+            sampling=self.sampling,
+            query_mode=self.query_mode, dtype=self.dtype)
+        self.da_heads = _DAHeads(dtype=self.dtype)
+        # ctjt over aggregated votes (`votenet_DA.py:412-419`)
+        from backtoreality_tpu.nn import SAModuleCenters
+
+        self.ctjt_head = SAModuleCenters(
+            radius=0.8, nsample=16, mlp=[128], use_xyz=True,
+            normalize_xyz=False, query_mode=self.query_mode,
+            dtype=self.dtype)
+        self.jitter_net = _ConvBNStack((64,), out=3, dtype=self.dtype)
+
+    def __call__(self, point_clouds, center_label, sem_cls_label,
+                 rng=None, *, train: bool, bn_momentum=0.1):
+        end_points = self.backbone_net(
+            point_clouds, train=train, bn_momentum=bn_momentum)
+
+        xyz = end_points["fp2_xyz"]
+        features = end_points["fp2_features"]
+        end_points["seed_inds"] = end_points["fp2_inds"]
+        end_points["seed_xyz"] = xyz
+        end_points["seed_features"] = features
+
+        xyz, features = self.vgen(
+            xyz, features, train=train, bn_momentum=bn_momentum)
+        norm = jnp.linalg.norm(features, axis=-1, keepdims=True)
+        features = features / jnp.maximum(norm, 1e-12)
+        end_points["vote_xyz"] = xyz
+        end_points["vote_features"] = features
+
+        end_points = self.pnet(
+            xyz, features, end_points, rng, train=train,
+            bn_momentum=bn_momentum)
+        end_points = self.da_heads(
+            end_points, train=train, bn_momentum=bn_momentum)
+
+        # jitter head off (detached) aggregated votes
+        cf = self.ctjt_head(
+            end_points["aggregated_vote_xyz"],
+            jax.lax.stop_gradient(
+                end_points["aggregated_vote_features"]),
+            center_label, train=train, bn_momentum=bn_momentum)
+        onehot = jnp.eye(self.num_class, dtype=cf.dtype)[
+            sem_cls_label.astype(jnp.int32)]
+        end_points["center_features"] = jnp.concatenate(
+            [cf, onehot], axis=-1)
+        end_points["jitter_pred"] = self.jitter_net(
+            end_points["center_features"], train=train,
+            bn_momentum=bn_momentum)
+        return end_points
+
+
 class VoteNetDAJitter(nn.Module):
     """`VoteNet_DA_jitter` (`votenet_DA.py:179-332`): DA + center-jitter
     prediction from GT-center-grouped features."""

@@ -152,7 +152,11 @@ def _fps_pallas(xyz: jax.Array, npoint: int) -> jax.Array:
 
 
 def furthest_point_sample(
-    xyz: jax.Array, npoint: int, *, use_pallas: bool | None = None
+    xyz: jax.Array,
+    npoint: int,
+    *,
+    use_pallas: bool | None = None,
+    candidates: int | None = None,
 ) -> jax.Array:
     """Iterative furthest point sampling.
 
@@ -162,6 +166,11 @@ def furthest_point_sample(
       npoint: number of samples to draw (static).
       use_pallas: force the Pallas TPU kernel on/off; default auto-selects
         by backend.
+      candidates: optional throughput knob — run FPS over only the first
+        `candidates` points. Because the input pipeline random-permutes
+        clouds, the prefix is a uniform random subset, so this is the
+        classic candidate-subset FPS approximation (coverage nearly
+        identical at ~4x npoint, cost linear in `candidates`).
 
     Returns:
       (B, npoint) int32 indices into N. Index 0 is always the first sample.
@@ -170,6 +179,8 @@ def furthest_point_sample(
     # None, `pointnet2_utils.py:75-77`) — vote-FPS runs on params-
     # dependent coordinates, and Pallas kernels have no JVP rule.
     xyz = jax.lax.stop_gradient(xyz)
+    if candidates is not None and candidates < xyz.shape[1]:
+        xyz = xyz[:, :candidates]
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:

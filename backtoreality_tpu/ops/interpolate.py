@@ -59,3 +59,12 @@ def interpolation_weights(dist: jax.Array, eps: float = 1e-8) -> jax.Array:
     (`pointnet2_modules.py:492-495`)."""
     recip = 1.0 / (dist + eps)
     return recip / jnp.sum(recip, axis=-1, keepdims=True)
+
+
+@jax.jit
+def three_nn_interpolate(known_feats, known_xyz, unknown_xyz):
+    """One-shot 3-NN inverse-distance interpolation (GF's
+    `ThreeNNInterpolate`, `GroupFree3D/pointnet2/pointnet2_modules.py:722-732`)."""
+    dist, idx = three_nn(unknown_xyz, known_xyz)
+    return three_interpolate(known_feats, idx,
+                             interpolation_weights(dist))

@@ -144,3 +144,22 @@ def procedural_library(classes, rng=None, shapes_per_class: int = 3
             recs.append(analyze_shape(f"{name}_{i:04d}", pts))
         shapes[name] = recs
     return ShapeLibrary(shapes)
+
+
+def compute_class_avg_dims(library: ShapeLibrary,
+                           target_heights: dict[str, float] | None = None
+                           ) -> dict[str, tuple]:
+    """Per-class average dims in both xy and yx orientations — the
+    `object40_property.npy` regenerator
+    (`data_generation/ScanNet/meta_data/object_property.py` analog).
+    Shapes are normalized clouds, so dims are scaled to an optional
+    per-class target height (default 1.0)."""
+    out = {}
+    for name, recs in library.shapes.items():
+        dims = np.stack([r.extents for r in recs])
+        scale = 1.0
+        if target_heights and name in target_heights:
+            scale = target_heights[name] / max(dims[:, 2].mean(), 1e-9)
+        dx, dy, dz = (dims.mean(0) * scale).tolist()
+        out[name] = (dx, dy, dz, dy, dx, dz)
+    return out

@@ -187,6 +187,31 @@ def get_iou_obb(bb1, bb2) -> float:
     return box3d_iou(bb1, bb2)[0]
 
 
+def eval_det_precision_recall(pred_boxes, gt_boxes, iou_thresh=0.25,
+                              iou_func=None) -> tuple[float, float]:
+    """Scene-level precision/recall by greedy IoU matching
+    (`utils/metric_util.py` multi_scene_precision_recall core).
+
+    pred_boxes / gt_boxes: lists of axis-aligned [xmin..zmax] boxes."""
+    iou_func = iou_func or axis_aligned_iou
+    matched_gt = set()
+    tp = 0
+    for pb in pred_boxes:
+        best, best_j = 0.0, -1
+        for j, gb in enumerate(gt_boxes):
+            if j in matched_gt:
+                continue
+            iou = iou_func(pb, gb)
+            if iou > best:
+                best, best_j = iou, j
+        if best >= iou_thresh:
+            tp += 1
+            matched_gt.add(best_j)
+    precision = tp / max(len(pred_boxes), 1)
+    recall = tp / max(len(gt_boxes), 1)
+    return precision, recall
+
+
 def axis_aligned_iou(box_a, box_b) -> float:
     """IoU of two axis-aligned boxes given as [xmin,ymin,zmin,xmax,ymax,
     zmax] (`utils/metric_util.py` calc_iou)."""

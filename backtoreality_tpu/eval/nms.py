@@ -47,3 +47,22 @@ def nms_3d_faster_samecls(boxes, overlap_threshold, old_type=False):
     pairs suppress each other."""
     return _greedy(boxes[:, 0:3], boxes[:, 3:6], boxes[:, 6],
                    boxes[:, 7], overlap_threshold, old_type)
+
+
+def nms_crnr_dist(boxes, conf, overlap_threshold):
+    """Corner-distance NMS (`utils/nms.py:152-167`): suppress boxes
+    whose corner-distance similarity to a kept box exceeds the
+    threshold. boxes (K, 8, 3) corners; conf (K,)."""
+    from backtoreality_tpu.utils.pc_util import bbox_corner_dist_measure
+
+    order = np.argsort(conf)
+    pick = []
+    while order.size:
+        i = order[-1]
+        pick.append(int(i))
+        rest = order[:-1]
+        scores = np.array([
+            bbox_corner_dist_measure(boxes[i], boxes[j]) for j in rest
+        ])
+        order = rest[scores <= overlap_threshold] if rest.size else rest
+    return pick

@@ -270,6 +270,17 @@ def get_loss_weak(end_points, config):
     return loss, aux
 
 
+def compute_sem_cls_loss(end_points, config):
+    """Scene-level multi-label semantic loss (`loss_helper.py:306-333`):
+    BCE between the mean-pooled per-proposal class logits and the scene
+    class-indicator vector (`cloud_label`)."""
+    from backtoreality_tpu.losses.common import sigmoid_bce_with_logits
+
+    cloud_label = end_points["cloud_label"].astype(jnp.float32)
+    cloud_pred = jnp.mean(end_points["sem_cls_scores"], axis=1)
+    return jnp.mean(sigmoid_bce_with_logits(cloud_pred, cloud_label))
+
+
 def compute_objectness_loss_boxnet(end_points):
     """BoxNet objectness (`loss_helper_boxnet.py:20-61`): the label is
     the seed's GT vote mask gathered through the aggregation indices —

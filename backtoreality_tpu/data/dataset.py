@@ -22,7 +22,6 @@ Differences from the reference are intentional and TPU-motivated:
 
 from __future__ import annotations
 
-import os
 import pathlib
 
 import numpy as np

@@ -28,13 +28,11 @@ import numpy as np
 
 from backtoreality_tpu.data.config import ASSETS
 from backtoreality_tpu.datagen.library import (
-    MDN_DICT,
     MODELNET40_CLASSES,
     load_modelnet40_library,
     procedural_library,
 )
 from backtoreality_tpu.datagen.scannet_adapter import (
-    MD40_IDS,
     export_scan,
     export_weak_objects,
 )

@@ -17,7 +17,6 @@ modelnet_id) via the footprint min-area rectangle.
 from __future__ import annotations
 
 import csv
-import json
 import pathlib
 import shutil
 

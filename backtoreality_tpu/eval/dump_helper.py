@@ -14,7 +14,6 @@ import numpy as np
 
 from backtoreality_tpu.eval.ap_helper import softmax
 from backtoreality_tpu.utils.pc_util import (
-    write_bbox,
     write_oriented_bbox,
     write_ply,
 )

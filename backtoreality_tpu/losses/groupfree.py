@@ -26,7 +26,6 @@ from backtoreality_tpu.losses.common import (
     softmax_focal_loss,
 )
 from backtoreality_tpu.losses.votenet import nn_distance
-from backtoreality_tpu.ops import huber_loss
 
 
 def smoothl1_loss(error, delta: float = 1.0):
@@ -205,15 +204,6 @@ def compute_objectness_loss_query_points(end_points, num_decoder_layers,
 # ---------------------------------------------------------------------------
 # Per-head box + semantic losses
 # ---------------------------------------------------------------------------
-
-
-def _reg_loss(error, kind, delta):
-    if kind == "smoothl1":
-        scale = delta if error.ndim else 1.0
-        return delta * smoothl1_loss(error, delta=delta)
-    if kind == "l1":
-        return jnp.abs(error)
-    raise NotImplementedError(kind)
 
 
 def compute_box_and_sem_cls_loss(end_points, config, num_decoder_layers,

@@ -2,7 +2,6 @@
 (`detection/GroupFree3D/models/modules.py:16-193`).
 """
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -13,7 +13,6 @@ TPU-native re-design of `pointnet2_modules.py` (PointnetSAModuleVotes
 
 import typing as tp
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

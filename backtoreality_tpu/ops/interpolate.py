@@ -7,7 +7,6 @@ Replaces the reference CUDA ops `three_nn` / `three_interpolate`
 3-point gather, differentiable in the features (scatter-add transpose).
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp

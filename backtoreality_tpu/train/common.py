@@ -19,7 +19,6 @@ import typing as tp
 
 import numpy as np
 
-import flax
 import jax
 import jax.numpy as jnp
 import optax
@@ -142,43 +141,53 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     return state.replace(opt_state=opt_state)
 
 
-def make_gf_optimizer(lr0: float, decoder_lr0: float,
+def make_gf_optimizer(lr0, decoder_lr0,
                       weight_decay: float = 5e-4,
                       grad_clip: float = 0.1):
     """GF optimizer: AdamW with a separate decoder learning rate
-    (`train_GF_FSB.py:234-244`: params whose name contains 'decoder' use
-    decoder_learning_rate) and global-norm clipping, both rates
-    injectable for per-iteration scheduling."""
+    (`train_GF_FSB.py:234-244`: params whose name starts with 'decoder'
+    use decoder_learning_rate) and global-norm clipping. `lr0` /
+    `decoder_lr0` may be floats or optax schedules (callables of the
+    step count) — schedules evaluate ON DEVICE, so per-iteration LR
+    stepping costs no host round-trips."""
 
     def label_fn(params):
         return {k: ("decoder" if k.startswith("decoder") else "main")
                 for k in params}
 
-    def _build(learning_rate, decoder_learning_rate):
-        return optax.chain(
-            optax.clip_by_global_norm(grad_clip),
-            optax.multi_transform(
-                {"main": optax.adamw(learning_rate,
-                                     weight_decay=weight_decay),
-                 "decoder": optax.adamw(decoder_learning_rate,
-                                        weight_decay=weight_decay)},
-                label_fn),
-        )
-
-    return optax.inject_hyperparams(_build)(
-        learning_rate=lr0, decoder_learning_rate=decoder_lr0)
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.multi_transform(
+            {"main": optax.adamw(lr0, weight_decay=weight_decay),
+             "decoder": optax.adamw(decoder_lr0,
+                                    weight_decay=weight_decay)},
+            label_fn),
+    )
 
 
-def set_gf_learning_rates(state: TrainState, lr: float,
-                          decoder_lr: float) -> TrainState:
-    opt_state = state.opt_state._replace(
-        hyperparams={
-            **state.opt_state.hyperparams,
-            "learning_rate": jnp.asarray(lr, jnp.float32),
-            "decoder_learning_rate": jnp.asarray(decoder_lr,
-                                                 jnp.float32),
-        })
-    return state.replace(opt_state=opt_state)
+def make_gf_schedule(base_lr: float, flags, steps_per_epoch: int):
+    """Reference GF scheduler as an optax schedule
+    (`utils/lr_scheduler.py:65-87`): optional linear warmup from
+    base/multiplier, then per-iteration MultiStep or cosine decay."""
+    warmup = max(flags.warmup_epoch, 0) * steps_per_epoch
+    if flags.lr_scheduler == "step":
+        after = optax.piecewise_constant_schedule(
+            base_lr,
+            {(m - max(flags.warmup_epoch, 0)) * steps_per_epoch:
+             flags.lr_decay_rate for m in flags.lr_decay_epochs})
+    else:
+        after = optax.cosine_decay_schedule(
+            base_lr,
+            max(
+                (flags.max_epoch - max(flags.warmup_epoch, 0))
+                * steps_per_epoch, 1),
+            alpha=1e-6 / base_lr)
+    if warmup <= 0:
+        return after
+    return optax.join_schedules(
+        [optax.linear_schedule(base_lr / flags.warmup_multiplier,
+                               base_lr, warmup), after],
+        [warmup])
 
 
 # ---------------------------------------------------------------------------

@@ -410,9 +410,17 @@ def main(recipe: str, argv=None):
 
     kind = "da_jitter" if jitter_model else ("da" if da else "plain")
     model = build_model(flags, cfg, kind)
+    steps_per_epoch_est = (min(len(loader_S), len(train_loader))
+                           if loader_S is not None
+                           else len(train_loader))
+    # on-device optax schedules: per-iteration LR stepping without any
+    # host->device hyperparameter pushes
+    main_sched = common.make_gf_schedule(
+        flags.learning_rate, flags, steps_per_epoch_est)
+    dec_sched = common.make_gf_schedule(
+        flags.decoder_learning_rate, flags, steps_per_epoch_est)
     optimizer = common.make_gf_optimizer(
-        flags.learning_rate, flags.decoder_learning_rate,
-        flags.weight_decay, flags.clip_norm)
+        main_sched, dec_sched, flags.weight_decay, flags.clip_norm)
     loss_kwargs = _loss_kwargs(flags)
     criterion = (gf_losses.get_loss if recipe == "fsb"
                  else gf_losses.get_loss_weak)
@@ -478,9 +486,8 @@ def main(recipe: str, argv=None):
         meter = common.MetricMeter()
         t0 = time.time()
         nb = 0
+        aux_hist = []
         for item in iterator:
-            state = common.set_gf_learning_rates(
-                state, lr_fn(host_step), dec_lr_fn(host_step))
             key = jax.random.fold_in(rng, host_step)
             host_step += 1
             if loader_S is not None:
@@ -492,10 +499,12 @@ def main(recipe: str, argv=None):
             else:
                 state, aux = train_step(
                     state, shard_batch(item, mesh), key, bnm)
-            meter.update(jax.device_get(aux))
+            aux_hist.append(aux)
             nb += 1
             if nb >= steps_per_epoch:
                 break
+        for aux in jax.device_get(aux_hist):
+            meter.update(aux)
         dt = time.time() - t0
         means = meter.means()
         logger.info(

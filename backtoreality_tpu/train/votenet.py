@@ -39,7 +39,7 @@ from backtoreality_tpu.models.votenet import (
 )
 from backtoreality_tpu.parallel import make_mesh, replicate, shard_batch
 from backtoreality_tpu.train import common
-from backtoreality_tpu.train.observability import ScalarHistory, profile
+from backtoreality_tpu.train.observability import ScalarHistory
 
 EVAL_CONFIG_DICT = dict(
     remove_empty_box=False, use_3d_nms=True, nms_iou=0.25,
@@ -325,6 +325,7 @@ def _train_loop_single(flags, recipe):
         meter = common.MetricMeter()
         t0 = time.time()
         nb = 0
+        aux_hist = []
         for batch in train_loader:
             dev_batch = shard_batch(batch, mesh)
             key = jax.random.fold_in(rng, host_step)
@@ -335,8 +336,13 @@ def _train_loop_single(flags, recipe):
             if flags.profile_dir and host_step == 15:
                 jax.block_until_ready(aux["loss"])
                 jax.profiler.stop_trace()
-            meter.update(jax.device_get(aux))
+            # defer the (blocking) metric fetch to the epoch boundary —
+            # per-step device_get round-trips dominate wall clock on
+            # remote/tunneled devices
+            aux_hist.append(aux)
             nb += 1
+        for aux in jax.device_get(aux_hist):
+            meter.update(aux)
         dt = time.time() - t0
         means = meter.means()
         logger.info(
@@ -457,6 +463,7 @@ def _train_loop_da(flags, recipe):
         meter = common.MetricMeter()
         t0 = time.time()
         nb = 0
+        aux_hist = []
         for batch_S, batch_T in pairs:
             dev_S = shard_batch(batch_S, mesh)
             dev_T = shard_batch(batch_T, mesh)
@@ -465,10 +472,12 @@ def _train_loop_da(flags, recipe):
             state, aux = train_step(
                 state, dev_S, dev_T, key, bnm,
                 jnp.asarray(epoch, jnp.float32))
-            meter.update(jax.device_get(aux))
+            aux_hist.append(aux)
             nb += 1
             if nb >= steps_per_epoch:
                 break
+        for aux in jax.device_get(aux_hist):
+            meter.update(aux)
         dt = time.time() - t0
         means = meter.means()
         logger.info(

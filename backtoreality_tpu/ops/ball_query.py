@@ -37,6 +37,14 @@ from backtoreality_tpu.ops._runtime import pallas_interpret
 _BIG_NEG = -(2**30)
 
 
+def _bucket_size(n: int, nsample: int) -> int:
+    """Stratified-bucket width: ceil(n/nsample), lane-aligned to 128 so
+    the Pallas kernel's bucketed reshape stays on the fast path. The
+    bucket layout is part of the stratified semantics — the XLA
+    implementation and the numpy oracle use the same width."""
+    return max(-(-(-(-n // nsample)) // 128) * 128, 128)
+
+
 def _pairwise_d2(new_xyz: jax.Array, xyz: jax.Array) -> jax.Array:
     """(..., M, 3) x (..., N, 3) -> (..., M, N) squared distances."""
     # |c - p|^2 = |c|^2 - 2 c.p + |p|^2 ; the cross term is a matmul (MXU).
@@ -167,7 +175,7 @@ def _ball_query_stratified_xla(
     xyz = xyz.astype(jnp.float32)
     new_xyz = new_xyz.astype(jnp.float32)
 
-    bucket = -(-n // nsample)
+    bucket = _bucket_size(n, nsample)
     n_pad = bucket * nsample
     if n_pad != n:
         # Pad far away so padded entries never register as hits.
@@ -194,47 +202,36 @@ def _ball_query_stratified_xla(
 
 
 def _bq_stratified_kernel(
-    xyzb_ref, c_ref, idx_ref, hit_ref, *, r2, nsample, bucket
+    xyzt_ref, p2_ref, c_ref, idx_ref, hit_ref, *, r2, nsample, bucket
 ):
-    # xyzb_ref: (1, S, 3, bucket) f32 — bucketed, coordinate-major points
-    #           of one batch row (bucket rides the lane axis).
-    # c_ref:   (1, mb, 3) f32 — one block of centers.
-    # idx_ref: (1, mb, S) i32 — per-slot first-hit index (global).
-    # hit_ref: (1, mb, S) i32 — 1 where the slot's bucket had a hit.
+    # xyzt_ref: (1, 3, n_pad) coordinate-major points of one batch row
+    # p2_ref:   (1, 1, n_pad) precomputed squared norms
+    # c_ref:    (1, mb, 3) one block of centers
+    # idx_ref:  (1, mb, S) per-slot first-hit index (global)
+    # hit_ref:  (1, mb, S) 1 where the slot's bucket had a hit
+    #
+    # One MXU matmul produces all center-point cross terms; the per-
+    # bucket first hit is a single lane-aligned reshaped max reduction.
     mb = c_ref.shape[1]
-    centers = c_ref[0]  # (mb, 3)
-    c2 = jnp.sum(jnp.square(centers), axis=1, keepdims=True)  # (mb, 1)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (mb, bucket), 1)
-    scol = jax.lax.broadcasted_iota(jnp.int32, (mb, nsample), 1)
-
-    idx_ref[0] = jnp.zeros((mb, nsample), jnp.int32)
-    hit_ref[0] = jnp.zeros((mb, nsample), jnp.int32)
-
-    def body(s, _):
-        pts = xyzb_ref[0, s]  # (3, bucket)
-        cross = jax.lax.dot_general(
-            centers,
-            pts,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (mb, bucket)
-        p2 = jnp.sum(jnp.square(pts), axis=0, keepdims=True)  # (1, bucket)
-        d2 = c2 - 2.0 * cross + p2
-        key = jnp.where(d2 < r2, -pos, _BIG_NEG)  # first hit = max key
-        best = jnp.max(key, axis=1, keepdims=True)  # (mb, 1)
-        has = best > _BIG_NEG
-        local = jnp.where(has, -best, 0)
-        sel = scol == s
-        idx_ref[0] = idx_ref[0] + jnp.where(
-            sel, s * bucket + local, 0
-        ).astype(jnp.int32)
-        hit_ref[0] = hit_ref[0] + jnp.where(
-            sel & has, 1, 0
-        ).astype(jnp.int32)
-        return 0
-
-    jax.lax.fori_loop(0, nsample, body, 0)
+    n_pad = xyzt_ref.shape[2]
+    centers = c_ref[0]
+    cross = jax.lax.dot_general(
+        centers,
+        xyzt_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (mb, n_pad)
+    c2 = jnp.sum(jnp.square(centers), axis=1, keepdims=True)
+    d2 = c2 - 2.0 * cross + p2_ref[0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (mb, n_pad), 1) % bucket
+    key = jnp.where(d2 < r2, -pos, _BIG_NEG)
+    best = jnp.max(key.reshape(mb, nsample, bucket), axis=2)  # (mb, S)
+    has = best > _BIG_NEG
+    local = jnp.where(has, -best, 0)
+    base = jax.lax.broadcasted_iota(jnp.int32, (mb, nsample), 1) * bucket
+    idx_ref[0] = (base + local).astype(jnp.int32)
+    hit_ref[0] = has.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -243,21 +240,18 @@ def _ball_query_stratified_pallas(
     new_xyz: jax.Array,
     radius: float,
     nsample: int,
-    mb: int = 256,
+    mb: int = 64,
 ) -> jax.Array:
     b, n, _ = xyz.shape
     m = new_xyz.shape[1]
-    bucket = -(-n // nsample)
+    bucket = _bucket_size(n, nsample)
     n_pad = bucket * nsample
     xyz = xyz.astype(jnp.float32)
     if n_pad != n:
         pad = jnp.full((b, n_pad - n, 3), 1e6, jnp.float32)
         xyz = jnp.concatenate([xyz, pad], axis=1)
-    # (B, S, 3, bucket): coordinate-major so each bucket slice is a dense
-    # (3, bucket) tile with the bucket on the lane axis.
-    xyzb = jnp.transpose(
-        xyz.reshape(b, nsample, bucket, 3), (0, 1, 3, 2)
-    )
+    xyzt = jnp.transpose(xyz, (0, 2, 1))  # (B, 3, n_pad)
+    p2 = jnp.sum(jnp.square(xyzt), axis=1, keepdims=True)
 
     mb = min(mb, m)
     num_mb = -(-m // mb)
@@ -277,7 +271,9 @@ def _ball_query_stratified_pallas(
         kernel,
         grid=(b, num_mb),
         in_specs=[
-            pl.BlockSpec((1, nsample, 3, bucket), lambda i, j: (i, 0, 0, 0),
+            pl.BlockSpec((1, 3, n_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, mb, 3), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -293,7 +289,7 @@ def _ball_query_stratified_pallas(
             jax.ShapeDtypeStruct((b, m_pad, nsample), jnp.int32),
         ),
         interpret=pallas_interpret(),
-    )(xyzb, new_xyz)
+    )(xyzt, p2, new_xyz)
     idx, hit = idx[:, :m], hit[:, :m] > 0
     # Slot-fill (XLA side, tiny): empty slots take the globally first hit,
     # i.e. the first hit of the first non-empty bucket.

@@ -53,10 +53,11 @@ def ball_query_oracle(xyz, new_xyz, radius, nsample):
 
 def ball_query_stratified_oracle(xyz, new_xyz, radius, nsample):
     """Bucketed variant: slot s takes the first hit in contiguous bucket s;
-    empty slots take the globally first hit; no hit at all -> 0."""
+    empty slots take the globally first hit; no hit at all -> 0. The
+    bucket width is lane-aligned (part of the op's semantics)."""
     b, n, _ = xyz.shape
     m = new_xyz.shape[1]
-    bucket = -(-n // nsample)
+    bucket = max(-(-(-(-n // nsample)) // 128) * 128, 128)
     out = np.zeros((b, m, nsample), dtype=np.int32)
     r2 = radius * radius
     for bi in range(b):

@@ -120,6 +120,10 @@ def add_flags(parser: argparse.ArgumentParser):
                         choices=["stratified", "exact"])
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 model compute (f32 params/stats)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="call jax.distributed.initialize() for"
+                             " multi-host meshes (env-configured"
+                             " coordinator, like torch's env://)")
     parser.add_argument("--resume", action="store_true",
                         help="restore full state + epoch from"
                              " --checkpoint_path and continue")
@@ -381,6 +385,10 @@ def main(recipe: str, argv=None):
         parser.add_argument("--source_data_root", required=True)
     flags = parser.parse_args(argv)
 
+    if getattr(flags, "multihost", False):
+        # multi-host rendezvous (the NCCL env:// analog,
+        # `train_GF_FSB.py:450-453`); coordinator/process env-configured
+        jax.distributed.initialize()
     common.enable_compilation_cache()
     cfg = get_config(flags.dataset)
     logger = common.setup_logger(flags.log_dir, name="gf")

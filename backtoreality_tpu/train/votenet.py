@@ -84,6 +84,10 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         choices=["stratified", "exact"])
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 model compute (f32 params/stats)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="call jax.distributed.initialize() for"
+                             " multi-host meshes (env-configured"
+                             " coordinator, like torch's env://)")
     parser.add_argument("--resume", action="store_true",
                         help="restore optimizer state + epoch from"
                              " --checkpoint_path and continue")
@@ -256,6 +260,10 @@ def evaluate(state, loader, eval_step, cfg, mesh, logger,
 
 def _train_loop_single(flags, recipe):
     """FSB (full labels) / WSB (weak, center-jittered labels)."""
+    if getattr(flags, "multihost", False):
+        # multi-host rendezvous (the NCCL env:// analog,
+        # `train_GF_FSB.py:450-453`); coordinator/process env-configured
+        jax.distributed.initialize()
     common.enable_compilation_cache()
     cfg = get_config(flags.dataset)
     logger = common.setup_logger(flags.log_dir)

@@ -100,7 +100,8 @@ class ProposalModule(nn.Module):
 
         net = new_features
         for i in range(2):
-            net = nn.Dense(128, use_bias=False,
+            # plain Conv1d bias kept (`proposal_module.py:80-84`)
+            net = nn.Dense(128, use_bias=True,
                            kernel_init=nn.initializers.he_normal(),
                            dtype=self.dtype, name=f"dense{i}")(net)
             net = BatchNorm(128, dtype=self.dtype, name=f"bn{i}")(

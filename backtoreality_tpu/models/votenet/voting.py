@@ -26,7 +26,9 @@ class VotingModule(nn.Module):
         c = self.seed_feature_dim
         net = seed_features
         for i in range(2):
-            net = nn.Dense(c, use_bias=False,
+            # plain torch Conv1d keeps its bias even before BN
+            # (`voting_module.py:33-37`) — kept for checkpoint parity
+            net = nn.Dense(c, use_bias=True,
                            kernel_init=nn.initializers.he_normal(),
                            dtype=self.dtype, name=f"dense{i}")(net)
             net = BatchNorm(c, dtype=self.dtype, name=f"bn{i}")(

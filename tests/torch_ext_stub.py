@@ -1,0 +1,115 @@
+"""CPU torch stand-in for the reference's `pointnet2._ext` CUDA module.
+
+Forward-only implementations with the exact kernel semantics
+(`_ext_src/src/*.cu`), so the reference models can run on CPU for
+golden-activation parity tests against the JAX models.
+"""
+
+import numpy as np
+import torch
+
+
+def furthest_point_sampling(xyz, npoint):
+    """(B, N, 3) float -> (B, npoint) int32 (sampling_gpu.cu:74-177)."""
+    x = xyz.detach().cpu().numpy().astype(np.float64)
+    b, n, _ = x.shape
+    out = np.zeros((b, npoint), dtype=np.int32)
+    for bi in range(b):
+        pts = x[bi]
+        valid = np.sum(pts * pts, axis=1) > 1e-3
+        temp = np.full(n, 1e10)
+        old = 0
+        for j in range(1, npoint):
+            d = np.sum((pts - pts[old]) ** 2, axis=1)
+            temp = np.minimum(temp, d)
+            cand = np.where(valid, temp, -1.0)
+            old = int(np.argmax(cand))
+            out[bi, j] = old
+    return torch.from_numpy(out)
+
+
+def gather_points(points, idx):
+    """(B, C, N) x (B, M) -> (B, C, M)."""
+    b = points.shape[0]
+    idx = idx.long()
+    return torch.stack([points[i][:, idx[i]] for i in range(b)])
+
+
+def ball_query(new_xyz, xyz, radius, nsample):
+    """-> (B, M, nsample) int32, first-k + slot-fill
+    (ball_query_gpu.cu:14-59; zeros when no hit). Argument order
+    matches `_ext.ball_query(new_xyz, xyz, radius, nsample)`
+    (`pointnet2_utils.py:282`)."""
+    x = xyz.detach().cpu().numpy()
+    c = new_xyz.detach().cpu().numpy()
+    b, n, _ = x.shape
+    m = c.shape[1]
+    out = np.zeros((b, m, nsample), dtype=np.int32)
+    r2 = radius * radius
+    for bi in range(b):
+        d2 = np.sum(
+            (c[bi][:, None, :] - x[bi][None, :, :]) ** 2, axis=-1)
+        for j in range(m):
+            hits = np.nonzero(d2[j] < r2)[0][:nsample]
+            if len(hits):
+                out[bi, j, :] = hits[0]
+                out[bi, j, :len(hits)] = hits
+    return torch.from_numpy(out)
+
+
+def group_points(points, idx):
+    """(B, C, N) x (B, M, S) -> (B, C, M, S)."""
+    b, c, n = points.shape
+    m, s = idx.shape[1], idx.shape[2]
+    idx = idx.long().reshape(b, -1)
+    out = torch.stack([points[i][:, idx[i]] for i in range(b)])
+    return out.reshape(b, c, m, s)
+
+
+def three_nn(unknown, known):
+    """-> (dist2 (B,n,3), idx (B,n,3)) — squared distances like the CUDA
+    kernel (the python wrapper takes the sqrt)."""
+    u = unknown.detach().cpu().numpy().astype(np.float64)
+    k = known.detach().cpu().numpy().astype(np.float64)
+    b, n, _ = u.shape
+    dist = np.zeros((b, n, 3))
+    idx = np.zeros((b, n, 3), dtype=np.int32)
+    for bi in range(b):
+        d2 = np.sum((u[bi][:, None, :] - k[bi][None, :, :]) ** 2, -1)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :3]
+        idx[bi] = order
+        dist[bi] = np.take_along_axis(d2, order, axis=1)
+    return (torch.from_numpy(dist.astype(np.float32)),
+            torch.from_numpy(idx))
+
+
+def three_interpolate(points, idx, weight):
+    """(B, C, M) x (B, n, 3) x (B, n, 3) -> (B, C, n)."""
+    b, c, m = points.shape
+    n = idx.shape[1]
+    idx = idx.long()
+    out = torch.zeros((b, c, n), dtype=points.dtype)
+    for i in range(b):
+        g = points[i][:, idx[i].reshape(-1)].reshape(c, n, 3)
+        out[i] = (g * weight[i].unsqueeze(0)).sum(-1)
+    return out
+
+
+def install():
+    """Register this module as `pointnet2._ext` in sys.modules."""
+    import sys
+    import types
+
+    ext = types.ModuleType("pointnet2._ext")
+    for name in ("furthest_point_sampling", "gather_points",
+                 "ball_query", "group_points", "three_nn",
+                 "three_interpolate"):
+        setattr(ext, name, globals()[name])
+    pkg = sys.modules.get("pointnet2")
+    if pkg is None:
+        pkg = types.ModuleType("pointnet2")
+        pkg.__path__ = []
+        sys.modules["pointnet2"] = pkg
+    pkg._ext = ext
+    sys.modules["pointnet2._ext"] = ext
+    return ext

@@ -87,8 +87,11 @@ def _fps_xla(xyz: jax.Array, npoint: int) -> jax.Array:
 
 
 def _fps_kernel(xyzt_ref, out_ref, mind_ref):
-    # xyzt_ref: (3, B, N) f32   out_ref: (B, npoint) i32
-    # mind_ref: (B, N) f32 scratch
+    # xyzt_ref: (3, B, N)   out_ref: (B, npoint) i32
+    # mind_ref: (B, N) matching-dtype scratch.
+    # NOTE: compute_dtype=bf16 would halve the per-pass VMEM bandwidth,
+    # but this jax version's Mosaic miscompiles i1 masks under bf16
+    # tiling ("invalid relayout ... vector<...xi1>"); f32 only for now.
     b, n = mind_ref.shape
     npoint = out_ref.shape[1]
 
@@ -101,12 +104,15 @@ def _fps_kernel(xyzt_ref, out_ref, mind_ref):
 
     # Invalid (padding) points carry a permanently negative min-distance so
     # they can never win the argmax; d >= 0 keeps them pinned at -1.
-    mind_ref[:, :] = jnp.where(norm2 > _PAD_NORM2, _BIG, -1.0)
+    # (arithmetic select: an i1-mask jnp.where trips a Mosaic relayout
+    # bug under bf16 tiling)
+    valid = (norm2 > _PAD_NORM2).astype(x.dtype)
+    mind_ref[:, :] = valid * (_BIG + 1.0) - 1.0
     out_ref[:, :] = jnp.zeros((b, npoint), dtype=jnp.int32)
 
     def body(j, last):
         # last: (B, 1) int32 — previously selected index per batch row.
-        eq = (lane == last).astype(jnp.float32)
+        eq = (lane == last).astype(x.dtype)
         x1 = jnp.sum(x * eq, axis=1, keepdims=True)
         y1 = jnp.sum(y * eq, axis=1, keepdims=True)
         z1 = jnp.sum(z * eq, axis=1, keepdims=True)
@@ -130,8 +136,9 @@ def _fps_kernel(xyzt_ref, out_ref, mind_ref):
     )
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _fps_pallas(xyz: jax.Array, npoint: int) -> jax.Array:
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _fps_pallas(xyz: jax.Array, npoint: int,
+                compute_dtype=jnp.float32) -> jax.Array:
     b, n, _ = xyz.shape
     # Lane-align N: unaligned lane dims drive Mosaic into a scalar slow
     # path (~2000x at N=40000). Zero padding is the native padding
@@ -140,13 +147,13 @@ def _fps_pallas(xyz: jax.Array, npoint: int) -> jax.Array:
     if n_pad != n:
         xyz = jnp.concatenate(
             [xyz, jnp.zeros((b, n_pad - n, 3), xyz.dtype)], axis=1)
-    xyzt = jnp.transpose(xyz.astype(jnp.float32), (2, 0, 1))  # (3, B, N)
+    xyzt = jnp.transpose(xyz.astype(compute_dtype), (2, 0, 1))
     return pl.pallas_call(
         _fps_kernel,
         out_shape=jax.ShapeDtypeStruct((b, npoint), jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((b, n_pad), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((b, n_pad), compute_dtype)],
         interpret=pallas_interpret(),
     )(xyzt)
 

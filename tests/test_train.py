@@ -152,3 +152,37 @@ class TestSchedules:
         cf = common.cosine_lr(6e-3, 1, 0.01, 400, 100)
         assert cf(100) == pytest.approx(6e-3)
         assert cf(400 * 100) == pytest.approx(0.0, abs=1e-6)
+
+
+class TestDATrainStep:
+    @pytest.mark.skipif(
+        __import__("os").environ.get("BTR_SLOW_TESTS", "0") != "1",
+        reason="DA double-forward CPU compile takes ~10 min; covered by "
+               "the TPU driver smokes. Set BTR_SLOW_TESTS=1 to run.")
+    def test_votenet_da_step_on_mesh(self, setup):
+        """The two-domain (BR) train step compiles and runs on the
+        virtual mesh: shared params, sequential BN-stat threading,
+        domain losses finite."""
+        from backtoreality_tpu.train.votenet import (
+            build_model,
+            init_state,
+            make_da_train_step,
+        )
+
+        cfg, _, optimizer, _, batch = setup
+        model = build_model(Flags(), cfg, kind="da")
+        rng = jax.random.PRNGKey(3)
+        state = init_state(
+            model, optimizer,
+            (jnp.asarray(batch["point_clouds"][:1]),), rng)
+        mesh = make_mesh()
+        state = replicate(jax.device_get(state), mesh)
+        step = make_da_train_step(model, optimizer, cfg)
+        dev_S = shard_batch(batch, mesh)
+        dev_T = shard_batch(batch, mesh)
+        state2, aux = step(state, dev_S, dev_T, rng,
+                           jnp.asarray(0.5, jnp.float32),
+                           jnp.asarray(0.0, jnp.float32))
+        assert int(state2.step) == 1
+        assert np.isfinite(float(aux["loss"]))
+        assert np.isfinite(float(aux["da_loss"]))

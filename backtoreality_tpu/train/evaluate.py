@@ -27,8 +27,6 @@ from backtoreality_tpu.eval import (
     parse_groundtruths,
     parse_predictions,
 )
-from backtoreality_tpu.losses import votenet as vote_losses
-from backtoreality_tpu.losses import groupfree as gf_losses
 from backtoreality_tpu.parallel import make_mesh, replicate, shard_batch
 from backtoreality_tpu.train import common
 from backtoreality_tpu.train import votenet as vn_driver

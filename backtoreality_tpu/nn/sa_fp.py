@@ -22,10 +22,12 @@ from backtoreality_tpu.nn.mlp import SharedMLP
 
 class _GroupMixin:
     def _group(self, xyz, new_xyz, features):
-        """Ball-query + group + localize. Returns (grouped, grouped_xyz)
-        with grouped (B, npoint, nsample, C[+3]) and grouped_xyz the
-        center-relative coordinates (before radius normalization is
-        applied to features when normalize_xyz)."""
+        """Ball-query + group + localize. Returns (grouped, local_xyz)
+        with grouped (B, npoint, nsample, C[+3]) and local_xyz the
+        center-relative coordinates — radius-normalized when
+        normalize_xyz, exactly the tensor the reference's
+        `ret_grouped_xyz` returns (`pointnet2_utils.py:348-352`), which
+        the rbf pooling consumes."""
         if self.query_mode == "exact":
             idx = ops.ball_query(xyz, new_xyz, self.radius, self.nsample)
         else:
@@ -44,7 +46,7 @@ class _GroupMixin:
                 grouped = grouped_feats
         else:
             grouped = local_xyz
-        return grouped, grouped_xyz
+        return grouped, local_xyz
 
     def _pool(self, new_features, grouped_xyz):
         """(B, npoint, nsample, C) -> (B, npoint, C)."""

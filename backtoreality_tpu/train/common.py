@@ -263,6 +263,35 @@ def partial_restore(target_tree, source_tree, log=None):
     return merged
 
 
+class PreemptionGuard:
+    """Save-on-SIGTERM for preemptible TPU workers (SURVEY.md §5.3:
+    the reference has no failure handling beyond resumable
+    checkpoints). Register once; update the latest state each epoch;
+    on SIGTERM the newest state is written before exiting, and
+    `--resume` continues from it."""
+
+    def __init__(self, ckpt_path, logger=None):
+        import signal
+
+        self.ckpt_path = ckpt_path
+        self.logger = logger
+        self.state = None
+        self.epoch = -1
+        self._prev = signal.signal(signal.SIGTERM, self._handler)
+
+    def update(self, state, epoch: int):
+        self.state = state
+        self.epoch = epoch
+
+    def _handler(self, signum, frame):
+        if self.state is not None:
+            if self.logger:
+                self.logger.info(
+                    "SIGTERM: saving checkpoint at epoch %d", self.epoch)
+            save_checkpoint(self.ckpt_path, self.state, self.epoch)
+        raise SystemExit(143)
+
+
 # ---------------------------------------------------------------------------
 # Logging / metrics
 # ---------------------------------------------------------------------------

@@ -478,6 +478,7 @@ def main(recipe: str, argv=None):
     lr_fn, dec_lr_fn = _lr_schedules(flags, steps_per_epoch)
     bnm = jnp.asarray(flags.bn_momentum, jnp.float32)
     ckpt_path = flags.log_dir + "/ckpt_epoch_last.tar"
+    guard = common.PreemptionGuard(ckpt_path, logger)
 
     host_step = start_epoch * steps_per_epoch
     for epoch in range(start_epoch, flags.max_epoch):
@@ -527,6 +528,7 @@ def main(recipe: str, argv=None):
                 epoch == flags.max_epoch - 1:
             common.save_checkpoint(
                 flags.log_dir + f"/ckpt_epoch_{epoch}.tar", state, epoch)
+        guard.update(state, epoch)
         common.save_checkpoint(ckpt_path, state, epoch)
         if (epoch + 1) % flags.val_freq == 0:
             results, _ = evaluate(state, val_loader, eval_step, cfg,

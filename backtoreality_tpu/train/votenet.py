@@ -325,6 +325,7 @@ def _train_loop_single(flags, recipe):
                                   rate=flags.bn_decay_rate)
 
     ckpt_path = (flags.log_dir + "/checkpoint.tar")
+    guard = common.PreemptionGuard(ckpt_path, logger)
     host_step = 0
     for epoch in range(start_epoch, flags.max_epoch):
         state = common.set_learning_rate(state, lr_fn(epoch))
@@ -363,6 +364,8 @@ def _train_loop_single(flags, recipe):
         history.append(epoch, means, lr=lr_fn(epoch),
                        scenes_per_sec=nb * flags.batch_size
                        / max(dt, 1e-9))
+        guard.update(state, epoch)
+        guard.update(state, epoch)
         common.save_checkpoint(ckpt_path, state, epoch)
         if (epoch + 1) % flags.eval_freq == 0:
             metrics, _ = evaluate(state, val_loader, eval_step, cfg,
@@ -456,6 +459,7 @@ def _train_loop_da(flags, recipe):
                  else "train_BR.tar")
     ckpt_path = flags.log_dir + "/" + ckpt_name
     steps_per_epoch = min(len(loader_S), len(loader_T))
+    guard = common.PreemptionGuard(ckpt_path, logger)
     host_step = 0
     for epoch in range(flags.max_epoch):
         state = common.set_learning_rate(state, lr_fn(epoch))
@@ -493,6 +497,7 @@ def _train_loop_da(flags, recipe):
             "(%d pair-batches, %.1fs)",
             epoch, lr_fn(epoch), means.get("loss", float("nan")),
             means.get("obj_acc", float("nan")), nb, dt)
+        guard.update(state, epoch)
         common.save_checkpoint(ckpt_path, state, epoch)
         if (epoch + 1) % flags.eval_freq == 0:
             metrics, _ = evaluate(state, val_loader, eval_step, cfg,

@@ -20,7 +20,7 @@ class PointsObjClsModule(nn.Module):
     def __call__(self, seed_features, *, train: bool, bn_momentum=0.1):
         net = seed_features
         for i in range(2):
-            net = nn.Dense(self.feature_dim, use_bias=True,
+            net = nn.Dense(self.feature_dim, use_bias=False,
                            kernel_init=nn.initializers.he_normal(),
                            dtype=self.dtype, name=f"dense{i}")(net)
             net = BatchNorm(self.feature_dim, dtype=self.dtype,
@@ -40,7 +40,7 @@ class PositionEmbeddingLearned(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, *, train: bool, bn_momentum=0.1):
-        net = nn.Dense(self.num_pos_feats, use_bias=True,
+        net = nn.Dense(self.num_pos_feats, use_bias=False,
                        kernel_init=nn.initializers.he_normal(),
                        dtype=self.dtype, name="dense0")(xyz)
         net = BatchNorm(self.num_pos_feats, dtype=self.dtype,
@@ -84,7 +84,7 @@ class PredictHead(nn.Module):
         nh, ns = self.num_heading_bin, self.num_size_cluster
         net = features
         for i in range(2):
-            net = nn.Dense(self.seed_feat_dim, use_bias=True,
+            net = nn.Dense(self.seed_feat_dim, use_bias=False,
                            kernel_init=nn.initializers.he_normal(),
                            dtype=self.dtype, name=f"dense{i}")(net)
             net = BatchNorm(self.seed_feat_dim, dtype=self.dtype,

@@ -51,8 +51,8 @@ class _ConvBNStack(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool, bn_momentum=0.1):
         for i, ch in enumerate(self.hidden):
-            # reference discriminators use plain Conv1d (bias=True)
-            x = nn.Dense(ch, use_bias=True,
+            # no bias before BN (see voting.py)
+            x = nn.Dense(ch, use_bias=False,
                          kernel_init=nn.initializers.he_normal(),
                          dtype=self.dtype, name=f"dense{i}")(x)
             x = BatchNorm(ch, dtype=self.dtype, name=f"bn{i}")(

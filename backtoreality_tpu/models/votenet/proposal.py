@@ -100,8 +100,9 @@ class ProposalModule(nn.Module):
 
         net = new_features
         for i in range(2):
-            # plain Conv1d bias kept (`proposal_module.py:80-84`)
-            net = nn.Dense(128, use_bias=True,
+            # no bias before BN (see voting.py; reference biases
+            # fold into BN running means at transplant)
+            net = nn.Dense(128, use_bias=False,
                            kernel_init=nn.initializers.he_normal(),
                            dtype=self.dtype, name=f"dense{i}")(net)
             net = BatchNorm(128, dtype=self.dtype, name=f"bn{i}")(

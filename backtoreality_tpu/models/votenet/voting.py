@@ -26,9 +26,12 @@ class VotingModule(nn.Module):
         c = self.seed_feature_dim
         net = seed_features
         for i in range(2):
-            # plain torch Conv1d keeps its bias even before BN
-            # (`voting_module.py:33-37`) — kept for checkpoint parity
-            net = nn.Dense(c, use_bias=True,
+            # No bias before BN: the reference's plain Conv1d keeps
+            # one, but it has zero training gradient (BN removes any
+            # constant shift) and random-walks under Adam while the
+            # running stats freeze — checkpoint transplant folds the
+            # reference bias into the BN running mean instead.
+            net = nn.Dense(c, use_bias=False,
                            kernel_init=nn.initializers.he_normal(),
                            dtype=self.dtype, name=f"dense{i}")(net)
             net = BatchNorm(c, dtype=self.dtype, name=f"bn{i}")(

@@ -35,6 +35,13 @@ def ref_model():
     import torch_ext_stub
 
     torch_ext_stub.install()
+    # purge reference modules a sibling parity fixture may have cached
+    # from the *Votenet* tree (same module names, different content)
+    for name in ("backbone_module", "pointnet2_modules",
+                 "pointnet2_utils", "pytorch_utils", "pc_util", "nms",
+                 "box_util", "eval_det", "metric_util", "transformer",
+                 "multi_head_attention", "modules", "detector"):
+        sys.modules.pop(name, None)
     for sub in ("pointnet2", "utils", "models"):
         sys.path.insert(0, str(GF / sub))
     sys.path.insert(0, str(GF))
@@ -87,15 +94,19 @@ def _conv1d(sd, name):
 
 
 def _convbn_stack(sd, convs, bns):
-    """Plain torch Conv1d+BN1d stacks -> dense{i}/bn{i}."""
+    """Plain torch Conv1d+BN1d stacks -> dense{i}/bn{i}; the pre-BN
+    conv bias folds into the BN running mean (BN(Wx+b; m, v) ==
+    BN(Wx; m-b, v))."""
     params, stats = {}, {}
     for i, (c, bnm) in enumerate(zip(convs, bns)):
-        params[f"dense{i}"] = _conv1d(sd, c)
+        d = _conv1d(sd, c)
+        conv_bias = d.pop("bias", 0.0)
+        params[f"dense{i}"] = d
         params[f"bn{i}"] = {
             "scale": sd[f"{bnm}.weight"].numpy(),
             "bias": sd[f"{bnm}.bias"].numpy()}
         stats[f"bn{i}"] = {
-            "mean": sd[f"{bnm}.running_mean"].numpy(),
+            "mean": sd[f"{bnm}.running_mean"].numpy() - conv_bias,
             "var": sd[f"{bnm}.running_var"].numpy()}
     return params, stats
 
@@ -148,14 +159,16 @@ def _dense(sd, prefix):
 
 
 def _posembed(sd, prefix):
-    params = {"dense0": _conv1d(
-        sd, f"{prefix}.position_embedding_head.0")}
+    d = _conv1d(sd, f"{prefix}.position_embedding_head.0")
+    conv_bias = d.pop("bias", 0.0)
+    params = {"dense0": d}
     params["bn0"] = {
         "scale": sd[f"{prefix}.position_embedding_head.1.weight"].numpy(),
         "bias": sd[f"{prefix}.position_embedding_head.1.bias"].numpy()}
     stats = {"bn0": {
         "mean": sd[
-            f"{prefix}.position_embedding_head.1.running_mean"].numpy(),
+            f"{prefix}.position_embedding_head.1.running_mean"].numpy()
+        - conv_bias,
         "var": sd[
             f"{prefix}.position_embedding_head.1.running_var"].numpy()}}
     params["dense1"] = _conv1d(sd, f"{prefix}.position_embedding_head.3")

@@ -87,13 +87,16 @@ def _convert_head(sd, prefix, nlayers=2):
     for i in range(nlayers):
         w = sd[f"{prefix}.conv{i+1}.weight"].numpy()  # (Co, Ci, 1)
         params[f"dense{i}"] = {
-            "kernel": np.transpose(w[:, :, 0], (1, 0)),
-            "bias": sd[f"{prefix}.conv{i+1}.bias"].numpy()}
+            "kernel": np.transpose(w[:, :, 0], (1, 0))}
         params[f"bn{i}"] = {
             "scale": sd[f"{prefix}.bn{i+1}.weight"].numpy(),
             "bias": sd[f"{prefix}.bn{i+1}.bias"].numpy()}
+        # the reference's pre-BN conv bias folds exactly into the BN
+        # running mean: BN(Wx + b; m, v) == BN(Wx; m - b, v)
+        conv_bias = sd[f"{prefix}.conv{i+1}.bias"].numpy()
         stats[f"bn{i}"] = {
-            "mean": sd[f"{prefix}.bn{i+1}.running_mean"].numpy(),
+            "mean": sd[f"{prefix}.bn{i+1}.running_mean"].numpy()
+            - conv_bias,
             "var": sd[f"{prefix}.bn{i+1}.running_var"].numpy()}
     w = sd[f"{prefix}.conv{nlayers+1}.weight"].numpy()
     params["out"] = {

@@ -120,6 +120,9 @@ def add_flags(parser: argparse.ArgumentParser):
                         choices=["stratified", "exact"])
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 model compute (f32 params/stats)")
+    parser.add_argument("--bn_recal_batches", type=int, default=None,
+                        help="train-mode batches to refresh BN stats"
+                             " before eval (default 20 with --bf16)")
     parser.add_argument("--multihost", action="store_true",
                         help="call jax.distributed.initialize() for"
                              " multi-host meshes (env-configured"
@@ -278,6 +281,43 @@ def make_da_train_step(model, optimizer, cfg, loss_kwargs, *,
         return new_state, _scalars(aux)
 
     return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_recal_step(model, *, jitter=False):
+    """Train-mode forward updating only batch_stats (BN recalibration;
+    dropout disabled by passing a fixed key via rngs)."""
+
+    def recal_fn(state, batch, bn_momentum, key):
+        args = (batch["point_clouds"],)
+        if jitter:
+            args += (batch["center_label"], batch["sem_cls_label"])
+        _, mut = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            *args, train=True, bn_momentum=bn_momentum,
+            mutable=["batch_stats"], rngs={"dropout": key})
+        return state.replace(batch_stats=mut["batch_stats"])
+
+    return jax.jit(recal_fn)
+
+
+def recalibrate_bn(state, loader, recal_step, mesh, num_batches,
+                   momentum=0.2):
+    if num_batches <= 0:
+        return state
+    done = 0
+    bnm = jnp.asarray(momentum, jnp.float32)
+    key = jax.random.PRNGKey(0)
+    while done < num_batches:
+        for batch in loader:
+            state = recal_step(state, shard_batch(batch, mesh), bnm,
+                               key)
+            done += 1
+            if done >= num_batches:
+                break
+        else:
+            continue
+        break
+    return state
 
 
 def make_eval_step(model, criterion, cfg, loss_kwargs, prefixes, *,
@@ -474,6 +514,10 @@ def main(recipe: str, argv=None):
     eval_step = make_eval_step(
         model, gf_losses.get_loss_weak if da else criterion, cfg,
         loss_kwargs, eval_prefixes, jitter=jitter_model)
+    recal_step = make_recal_step(model, jitter=jitter_model)
+    recal_batches = flags.bn_recal_batches
+    if recal_batches is None:
+        recal_batches = 20 if flags.bf16 else 0
 
     lr_fn, dec_lr_fn = _lr_schedules(flags, steps_per_epoch)
     bnm = jnp.asarray(flags.bn_momentum, jnp.float32)
@@ -531,8 +575,11 @@ def main(recipe: str, argv=None):
         guard.update(state, epoch)
         common.save_checkpoint(ckpt_path, state, epoch)
         if (epoch + 1) % flags.val_freq == 0:
-            results, _ = evaluate(state, val_loader, eval_step, cfg,
-                                  mesh, logger, flags, eval_prefixes)
+            eval_state = recalibrate_bn(state, train_loader, recal_step,
+                                        mesh, recal_batches)
+            results, _ = evaluate(eval_state, val_loader, eval_step,
+                                  cfg, mesh, logger, flags,
+                                  eval_prefixes)
             key0 = (eval_prefixes[0], flags.ap_iou_thresholds[0])
             history.append(epoch, {"mAP": results[key0]["mAP"],
                                    "AR": results[key0]["AR"]},

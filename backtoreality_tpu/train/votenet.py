@@ -84,6 +84,12 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         choices=["stratified", "exact"])
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 model compute (f32 params/stats)")
+    parser.add_argument("--bn_recal_batches", type=int, default=None,
+                        help="train-mode batches to refresh BN running"
+                             " stats before each eval (default 20 with"
+                             " --bf16, else 0): bf16 weight drift after"
+                             " the BN-momentum floor staleness-shifts"
+                             " frozen stats")
     parser.add_argument("--multihost", action="store_true",
                         help="call jax.distributed.initialize() for"
                              " multi-host meshes (env-configured"
@@ -217,6 +223,41 @@ def make_da_train_step(model, optimizer, cfg, *, jitter=False):
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
+def make_recal_step(model, *, jitter=False):
+    """Train-mode forward updating only batch_stats (BN recalibration)."""
+
+    def recal_fn(state, batch, bn_momentum):
+        args = (batch["point_clouds"],)
+        if jitter:
+            args += (batch["center_label"], batch["sem_cls_label"])
+        _, mut = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            *args, None, train=True, bn_momentum=bn_momentum,
+            mutable=["batch_stats"])
+        return state.replace(batch_stats=mut["batch_stats"])
+
+    return jax.jit(recal_fn)
+
+
+def recalibrate_bn(state, loader, recal_step, mesh, num_batches,
+                   momentum=0.2):
+    """Refresh BN running stats from train-mode forwards."""
+    if num_batches <= 0:
+        return state
+    done = 0
+    bnm = jnp.asarray(momentum, jnp.float32)
+    while done < num_batches:
+        for batch in loader:
+            state = recal_step(state, shard_batch(batch, mesh), bnm)
+            done += 1
+            if done >= num_batches:
+                break
+        else:
+            continue
+        break
+    return state
+
+
 def make_eval_step(model, criterion, cfg, *, jitter=False):
     def eval_fn(state, batch, rng):
         variables = {"params": state.params,
@@ -316,6 +357,10 @@ def _train_loop_single(flags, recipe):
 
     train_step = make_train_step(model, optimizer, criterion, cfg)
     eval_step = make_eval_step(model, criterion, cfg)
+    recal_step = make_recal_step(model)
+    recal_batches = flags.bn_recal_batches
+    if recal_batches is None:
+        recal_batches = 20 if flags.bf16 else 0
 
     lr_fn = common.step_lr(
         flags.learning_rate,
@@ -368,8 +413,11 @@ def _train_loop_single(flags, recipe):
         guard.update(state, epoch)
         common.save_checkpoint(ckpt_path, state, epoch)
         if (epoch + 1) % flags.eval_freq == 0:
-            metrics, _ = evaluate(state, val_loader, eval_step, cfg,
-                                  mesh, logger, flags.ap_iou_thresh)
+            eval_state = recalibrate_bn(state, train_loader, recal_step,
+                                        mesh, recal_batches)
+            metrics, _ = evaluate(eval_state, val_loader, eval_step,
+                                  cfg, mesh, logger,
+                                  flags.ap_iou_thresh)
             history.append(epoch, {"mAP": metrics["mAP"],
                                    "AR": metrics["AR"]},
                            kind="eval")
@@ -447,6 +495,10 @@ def _train_loop_da(flags, recipe):
     # eval uses the weak criterion on the target domain
     eval_step = make_eval_step(model, vote_losses.get_loss_weak, cfg,
                                jitter=jitter_model)
+    recal_step = make_recal_step(model, jitter=jitter_model)
+    recal_batches = flags.bn_recal_batches
+    if recal_batches is None:
+        recal_batches = 20 if flags.bf16 else 0
 
     lr_fn = common.step_lr(
         flags.learning_rate,
@@ -500,8 +552,11 @@ def _train_loop_da(flags, recipe):
         guard.update(state, epoch)
         common.save_checkpoint(ckpt_path, state, epoch)
         if (epoch + 1) % flags.eval_freq == 0:
-            metrics, _ = evaluate(state, val_loader, eval_step, cfg,
-                                  mesh, logger, flags.ap_iou_thresh)
+            eval_state = recalibrate_bn(state, loader_T, recal_step,
+                                        mesh, recal_batches)
+            metrics, _ = evaluate(eval_state, val_loader, eval_step,
+                                  cfg, mesh, logger,
+                                  flags.ap_iou_thresh)
             if jax.process_index() == 0:
                 with open(flags.log_dir + "/Eval_mAP.txt", "a") as f:
                     f.write(f"{epoch}\t{metrics['mAP']:.4f}\n")

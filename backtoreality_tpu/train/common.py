@@ -321,6 +321,22 @@ def setup_logger(log_dir, name="btr", rank: int | None = None):
     return logger
 
 
+def fetch_aux_means(aux_hist):
+    """Epoch means of per-step scalar aux dicts with ONE bulk fetch:
+    stacking on device first turns nb*nkeys tiny transfers (each an
+    RTT on tunneled / remote devices) into nkeys — on a tunneled chip
+    this is the difference between ~20 and ~100+ scenes/s of measured
+    epoch throughput."""
+    if not aux_hist:
+        return {}
+    keys = [k for k, v in aux_hist[0].items() if jnp.ndim(v) == 0]
+    # one dispatch (the flat stack), one mean, one small transfer —
+    # NOT nkeys stacks + nkeys per-leaf gets
+    flat = jnp.stack([a[k] for a in aux_hist for k in keys])
+    means = np.asarray(flat.reshape(len(aux_hist), len(keys)).mean(0))
+    return dict(zip(keys, means.astype(float)))
+
+
 class MetricMeter:
     """Running means of scalar stats (the reference accumulates every
     end_points key containing loss/acc/ratio,

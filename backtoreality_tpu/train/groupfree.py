@@ -536,7 +536,6 @@ def main(recipe: str, argv=None):
             iterator = pairs
         else:
             iterator = train_loader
-        meter = common.MetricMeter()
         t0 = time.time()
         nb = 0
         aux_hist = []
@@ -556,10 +555,8 @@ def main(recipe: str, argv=None):
             nb += 1
             if nb >= steps_per_epoch:
                 break
-        for aux in jax.device_get(aux_hist):
-            meter.update(aux)
+        means = common.fetch_aux_means(aux_hist)
         dt = time.time() - t0
-        means = meter.means()
         logger.info(
             "epoch %03d lr %.2e loss %.4f (%d batches, %.1fs, "
             "%.2f scenes/s)", epoch, lr_fn(host_step),

@@ -376,7 +376,6 @@ def _train_loop_single(flags, recipe):
         state = common.set_learning_rate(state, lr_fn(epoch))
         bnm = jnp.asarray(bn_fn(epoch), jnp.float32)
         train_loader.set_epoch(epoch)
-        meter = common.MetricMeter()
         t0 = time.time()
         nb = 0
         aux_hist = []
@@ -395,10 +394,8 @@ def _train_loop_single(flags, recipe):
             # remote/tunneled devices
             aux_hist.append(aux)
             nb += 1
-        for aux in jax.device_get(aux_hist):
-            meter.update(aux)
+        means = common.fetch_aux_means(aux_hist)
         dt = time.time() - t0
-        means = meter.means()
         logger.info(
             "epoch %03d lr %.2e bnm %.3f loss %.4f obj_acc %.3f "
             "(%d batches, %.1fs, %.2f scenes/s)",
@@ -409,7 +406,6 @@ def _train_loop_single(flags, recipe):
         history.append(epoch, means, lr=lr_fn(epoch),
                        scenes_per_sec=nb * flags.batch_size
                        / max(dt, 1e-9))
-        guard.update(state, epoch)
         guard.update(state, epoch)
         common.save_checkpoint(ckpt_path, state, epoch)
         if (epoch + 1) % flags.eval_freq == 0:
@@ -524,7 +520,6 @@ def _train_loop_da(flags, recipe):
             pairs = zip(cycle(loader_S), loader_T)
         else:
             pairs = zip(loader_S, cycle(loader_T))
-        meter = common.MetricMeter()
         t0 = time.time()
         nb = 0
         aux_hist = []
@@ -540,10 +535,8 @@ def _train_loop_da(flags, recipe):
             nb += 1
             if nb >= steps_per_epoch:
                 break
-        for aux in jax.device_get(aux_hist):
-            meter.update(aux)
+        means = common.fetch_aux_means(aux_hist)
         dt = time.time() - t0
-        means = meter.means()
         logger.info(
             "epoch %03d lr %.2e loss %.4f obj_acc %.3f "
             "(%d pair-batches, %.1fs)",

@@ -30,16 +30,26 @@ class _GroupMixin:
         the rbf pooling consumes."""
         if self.query_mode == "exact":
             idx = ops.ball_query(xyz, new_xyz, self.radius, self.nsample)
+            group = lambda p: ops.group_points(p, idx)
         else:
-            idx = ops.ball_query_stratified(
-                xyz, new_xyz, self.radius, self.nsample
+            # Stratified path: gather-free grouping (one-hot MXU
+            # contraction) — XLA's TPU gather is scalar-core-bound and
+            # dominates the backbone otherwise.
+            idx, hit = ops.ball_query_stratified(
+                xyz, new_xyz, self.radius, self.nsample, return_hit=True
             )
-        grouped_xyz = ops.group_points(xyz, idx) - new_xyz[:, :, None, :]
+            group = lambda p: ops.group_points_stratified(p, idx, hit)
+        if features is not None:
+            both = group(jnp.concatenate([xyz, features], -1))
+            grouped_xyz = both[..., :3] - new_xyz[:, :, None, :]
+            grouped_feats = both[..., 3:]
+        else:
+            grouped_xyz = group(xyz) - new_xyz[:, :, None, :]
+            grouped_feats = None
         local_xyz = grouped_xyz
         if self.normalize_xyz:
             local_xyz = grouped_xyz / self.radius
-        if features is not None:
-            grouped_feats = ops.group_points(features, idx)
+        if grouped_feats is not None:
             if self.use_xyz:
                 grouped = jnp.concatenate([local_xyz, grouped_feats], -1)
             else:
@@ -174,15 +184,22 @@ class SAModuleMSG(nn.Module):
             else:
                 if self.query_mode == "exact":
                     idx = ops.ball_query(xyz, new_xyz, radius, nsample)
+                    group = lambda p: ops.group_points(p, idx)
                 else:
-                    idx = ops.ball_query_stratified(
-                        xyz, new_xyz, radius, nsample)
-                grouped_xyz = (ops.group_points(xyz, idx)
-                               - new_xyz[:, :, None, :])
+                    idx, hit = ops.ball_query_stratified(
+                        xyz, new_xyz, radius, nsample, return_hit=True)
+                    group = (lambda p: ops.group_points_stratified(
+                        p, idx, hit))
+                if features is not None:
+                    both = group(jnp.concatenate([xyz, features], -1))
+                    grouped_xyz = both[..., :3] - new_xyz[:, :, None, :]
+                    gf = both[..., 3:]
+                else:
+                    grouped_xyz = group(xyz) - new_xyz[:, :, None, :]
+                    gf = None
                 if self.normalize_xyz:
                     grouped_xyz = grouped_xyz / radius
-                if features is not None:
-                    gf = ops.group_points(features, idx)
+                if gf is not None:
                     grouped = (jnp.concatenate([grouped_xyz, gf], -1)
                                if self.use_xyz else gf)
                 else:

@@ -158,7 +158,7 @@ def _stratified_math(d2, r2, n, nsample, bucket):
         jnp.where(sidx == first_bucket, idx, 0), axis=-1, keepdims=True
     )
     out = jnp.where(has_hit, idx, fill)
-    return jnp.minimum(out, n - 1).astype(jnp.int32)
+    return jnp.minimum(out, n - 1).astype(jnp.int32), has_hit
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -196,9 +196,10 @@ def _ball_query_stratified_xla(
         return _stratified_math(d2, r2, n, nsample, bucket)
 
     chunks = jnp.moveaxis(new_xyz.reshape(b, num_chunks, chunk, 3), 1, 0)
-    out = jax.lax.map(one_chunk, chunks)
+    out, hit = jax.lax.map(one_chunk, chunks)
     out = jnp.moveaxis(out, 0, 1).reshape(b, m_pad, nsample)
-    return out[:, :m]
+    hit = jnp.moveaxis(hit, 0, 1).reshape(b, m_pad, nsample)
+    return out[:, :m], hit[:, :m]
 
 
 def _bq_stratified_kernel(
@@ -300,7 +301,7 @@ def _ball_query_stratified_pallas(
         jnp.where(sidx == first_bucket, idx, 0), axis=-1, keepdims=True
     )
     out = jnp.where(hit, idx, fill)
-    return jnp.minimum(out, n - 1).astype(jnp.int32)
+    return jnp.minimum(out, n - 1).astype(jnp.int32), hit
 
 
 def ball_query_stratified(
@@ -310,13 +311,23 @@ def ball_query_stratified(
     nsample: int,
     *,
     use_pallas: bool | None = None,
-) -> jax.Array:
-    """Bucketed ball query (see module docstring). (B, M, nsample) int32."""
+    return_hit: bool = False,
+):
+    """Bucketed ball query (see module docstring). (B, M, nsample) int32.
+
+    With ``return_hit=True`` also returns the (B, M, nsample) bool mask of
+    slots whose bucket had a real hit (False = slot-filled / empty). The
+    mask is what :func:`backtoreality_tpu.ops.group_points_stratified`
+    consumes for gather-free grouping.
+    """
     # Integer-valued op — cut the AD path (see furthest_point_sample).
     xyz = jax.lax.stop_gradient(xyz)
     new_xyz = jax.lax.stop_gradient(new_xyz)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        return _ball_query_stratified_pallas(xyz, new_xyz, radius, nsample)
-    return _ball_query_stratified_xla(xyz, new_xyz, radius, nsample)
+        idx, hit = _ball_query_stratified_pallas(
+            xyz, new_xyz, radius, nsample)
+    else:
+        idx, hit = _ball_query_stratified_xla(xyz, new_xyz, radius, nsample)
+    return (idx, hit) if return_hit else idx

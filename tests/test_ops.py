@@ -115,18 +115,16 @@ class TestBallQuery:
         centers = xyz[:, :16].copy()
         r = safe_radius(xyz, centers, 0.9)
         want = ball_query_stratified_oracle(xyz, centers, r, 8)
-        got_xla = np.asarray(
-            bq._ball_query_stratified_xla(
-                jnp.asarray(xyz), jnp.asarray(centers), r, 8
-            )
+        got_xla, hit_xla = bq._ball_query_stratified_xla(
+            jnp.asarray(xyz), jnp.asarray(centers), r, 8
         )
-        np.testing.assert_array_equal(got_xla, want)
-        got_pl = np.asarray(
-            bq._ball_query_stratified_pallas(
-                jnp.asarray(xyz), jnp.asarray(centers), r, 8, 16
-            )
+        np.testing.assert_array_equal(np.asarray(got_xla), want)
+        got_pl, hit_pl = bq._ball_query_stratified_pallas(
+            jnp.asarray(xyz), jnp.asarray(centers), r, 8, 16
         )
-        np.testing.assert_array_equal(got_pl, want)
+        np.testing.assert_array_equal(np.asarray(got_pl), want)
+        np.testing.assert_array_equal(np.asarray(hit_pl),
+                                      np.asarray(hit_xla))
 
     def test_stratified_indices_within_radius(self):
         rng = np.random.default_rng(4)
@@ -234,6 +232,36 @@ class TestGrouping:
                 for j in range(3):
                     want_g[b, idx[b, i, j]] += 1.0
         np.testing.assert_allclose(np.asarray(g), want_g, rtol=1e-6)
+
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    @pytest.mark.parametrize("radius_frac", [0.9, 0.25])
+    def test_group_points_stratified_matches_gather(self, use_pallas,
+                                                    radius_frac):
+        """Gather-free grouping == group_points(idx) bit-exactly,
+        including slot-filled and zero-hit centers; gradient matches
+        the scatter-add to reduction-order tolerance. The Pallas
+        variant runs in interpret mode on CPU."""
+        rng = np.random.default_rng(11)
+        xyz = make_cloud(rng, 2, 300, pad_frac=0.0, scale=1.5)
+        centers = xyz[:, :24].copy()
+        centers[0, 0] = 50.0  # a center with no neighbors at all
+        r = safe_radius(xyz, centers, radius_frac)
+        feats = rng.random((2, 300, 7)).astype(np.float32)
+        idx, hit = ops.ball_query_stratified(
+            jnp.asarray(xyz), jnp.asarray(centers), r, 8, return_hit=True
+        )
+        want = np.asarray(ops.group_points(jnp.asarray(feats), idx))
+        got = np.asarray(ops.group_points_stratified(
+            jnp.asarray(feats), idx, hit, use_pallas=use_pallas))
+        np.testing.assert_array_equal(got, want)
+        g_new = jax.grad(lambda p: jnp.sum(jnp.sin(
+            ops.group_points_stratified(
+                p, idx, hit, use_pallas=use_pallas) * 0.3)))(
+            jnp.asarray(feats))
+        g_ref = jax.grad(lambda p: jnp.sum(jnp.sin(
+            ops.group_points(p, idx) * 0.3)))(jnp.asarray(feats))
+        np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-6)
 
 
 class TestChamfer:

@@ -203,13 +203,18 @@ def _ball_query_stratified_xla(
 
 
 def _bq_stratified_kernel(
-    xyzt_ref, p2_ref, c_ref, idx_ref, hit_ref, *, r2, nsample, bucket
+    xyzt_ref, p2_ref, negpos_ref, c_ref, idx_ref, hit_ref,
+    *, r2, nsample, bucket
 ):
-    # xyzt_ref: (1, 3, n_pad) coordinate-major points of one batch row
-    # p2_ref:   (1, 1, n_pad) precomputed squared norms
-    # c_ref:    (1, mb, 3) one block of centers
-    # idx_ref:  (1, mb, S) per-slot first-hit index (global)
-    # hit_ref:  (1, mb, S) 1 where the slot's bucket had a hit
+    # xyzt_ref:   (1, 3, n_pad) coordinate-major points of one batch row
+    # p2_ref:     (1, 1, n_pad) precomputed squared norms
+    # negpos_ref: (1, 1, n_pad) precomputed -(i % bucket) row — integer
+    #             mod is a multi-op division sequence on the VPU and this
+    #             row is constant across all grid cells, so it is hoisted
+    #             out of the kernel entirely.
+    # c_ref:      (1, mb, 3) one block of centers
+    # idx_ref:    (1, mb, S) per-slot first-hit index (global)
+    # hit_ref:    (1, mb, S) 1 where the slot's bucket had a hit
     #
     # One MXU matmul produces all center-point cross terms; the per-
     # bucket first hit is a single lane-aligned reshaped max reduction.
@@ -225,8 +230,7 @@ def _bq_stratified_kernel(
     )  # (mb, n_pad)
     c2 = jnp.sum(jnp.square(centers), axis=1, keepdims=True)
     d2 = c2 - 2.0 * cross + p2_ref[0]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (mb, n_pad), 1) % bucket
-    key = jnp.where(d2 < r2, -pos, _BIG_NEG)
+    key = jnp.where(d2 < r2, negpos_ref[0], _BIG_NEG)
     best = jnp.max(key.reshape(mb, nsample, bucket), axis=2)  # (mb, S)
     has = best > _BIG_NEG
     local = jnp.where(has, -best, 0)
@@ -253,6 +257,8 @@ def _ball_query_stratified_pallas(
         xyz = jnp.concatenate([xyz, pad], axis=1)
     xyzt = jnp.transpose(xyz, (0, 2, 1))  # (B, 3, n_pad)
     p2 = jnp.sum(jnp.square(xyzt), axis=1, keepdims=True)
+    negpos = -(jnp.arange(n_pad, dtype=jnp.int32)
+               % bucket)[None, None, :]  # (1, 1, n_pad)
 
     mb = min(mb, m)
     num_mb = -(-m // mb)
@@ -276,6 +282,8 @@ def _ball_query_stratified_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, n_pad), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, mb, 3), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -290,7 +298,7 @@ def _ball_query_stratified_pallas(
             jax.ShapeDtypeStruct((b, m_pad, nsample), jnp.int32),
         ),
         interpret=pallas_interpret(),
-    )(xyzt, p2, new_xyz)
+    )(xyzt, p2, negpos, new_xyz)
     idx, hit = idx[:, :m], hit[:, :m] > 0
     # Slot-fill (XLA side, tiny): empty slots take the globally first hit,
     # i.e. the first hit of the first non-empty bucket.

@@ -16,6 +16,7 @@ class GFBackbone(nn.Module):
     width: int = 1
     depth: int = 2
     query_mode: str = "stratified"
+    fps_candidates: int | None = None  # subset-FPS at SA1 (speed knob)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -24,7 +25,8 @@ class GFBackbone(nn.Module):
                   query_mode=self.query_mode, dtype=self.dtype)
         self.sa1 = SAModuleVotes(
             npoint=2048, radius=0.2, nsample=64,
-            mlp=[64 * w] * d + [128 * w], **kw)
+            mlp=[64 * w] * d + [128 * w],
+            fps_candidates=self.fps_candidates, **kw)
         self.sa2 = SAModuleVotes(
             npoint=1024, radius=0.4, nsample=32,
             mlp=[128 * w] * d + [256 * w], **kw)

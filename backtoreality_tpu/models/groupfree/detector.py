@@ -39,12 +39,14 @@ class GroupFreeDetector(nn.Module):
     self_position_embedding: str = "xyz_learned"
     cross_position_embedding: str = "xyz_learned"
     query_mode: str = "stratified"
+    fps_candidates: int | None = None
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.backbone_net = GFBackbone(
             input_feature_dim=self.input_feature_dim, width=self.width,
-            query_mode=self.query_mode, dtype=self.dtype)
+            query_mode=self.query_mode,
+            fps_candidates=self.fps_candidates, dtype=self.dtype)
         if self.sampling == "kps":
             self.points_obj_cls = PointsObjClsModule(288,
                                                      dtype=self.dtype)

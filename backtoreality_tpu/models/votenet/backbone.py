@@ -20,13 +20,15 @@ from backtoreality_tpu.nn import SAModuleVotes, SAModuleCenters, FPModule
 class Pointnet2Backbone(nn.Module):
     input_feature_dim: int = 0
     query_mode: str = "stratified"
+    fps_candidates: int | None = None  # subset-FPS at SA1 (speed knob)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         kw = dict(use_xyz=True, normalize_xyz=True,
                   query_mode=self.query_mode, dtype=self.dtype)
         self.sa1 = SAModuleVotes(
-            npoint=2048, radius=0.2, nsample=64, mlp=[64, 64, 128], **kw)
+            npoint=2048, radius=0.2, nsample=64, mlp=[64, 64, 128],
+            fps_candidates=self.fps_candidates, **kw)
         self.sa2 = SAModuleVotes(
             npoint=1024, radius=0.4, nsample=32, mlp=[128, 128, 256], **kw)
         self.sa3 = SAModuleVotes(
@@ -94,12 +96,14 @@ class Pointnet2BackboneJitter(nn.Module):
     num_class: int = 22
     input_feature_dim: int = 0
     query_mode: str = "stratified"
+    fps_candidates: int | None = None
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.backbone = Pointnet2Backbone(
             input_feature_dim=self.input_feature_dim,
-            query_mode=self.query_mode, dtype=self.dtype)
+            query_mode=self.query_mode,
+            fps_candidates=self.fps_candidates, dtype=self.dtype)
         # 64 centers max, r=0.8, mlp [256,128] (`backbone_module.py:180-186`)
         self.ctjt = SAModuleCenters(
             radius=0.8, nsample=16, mlp=[256, 128], use_xyz=True,

@@ -20,12 +20,14 @@ class BoxNet(nn.Module):
     num_proposal: int = 256
     sampling: str = "vote_fps"
     query_mode: str = "stratified"
+    fps_candidates: int | None = None
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.backbone_net = Pointnet2Backbone(
             input_feature_dim=self.input_feature_dim,
-            query_mode=self.query_mode, dtype=self.dtype)
+            query_mode=self.query_mode,
+            fps_candidates=self.fps_candidates, dtype=self.dtype)
         self.pnet = ProposalModule(
             num_class=self.num_class,
             num_heading_bin=self.num_heading_bin,
@@ -33,7 +35,8 @@ class BoxNet(nn.Module):
             mean_size_arr=self.mean_size_arr,
             num_proposal=self.num_proposal,
             sampling=self.sampling,
-            query_mode=self.query_mode, dtype=self.dtype)
+            query_mode=self.query_mode,
+            dtype=self.dtype)
 
     def __call__(self, point_clouds, rng=None, *, train: bool,
                  bn_momentum=0.1):

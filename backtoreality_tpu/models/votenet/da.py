@@ -100,12 +100,14 @@ class VoteNetDA(nn.Module):
     vote_factor: int = 1
     sampling: str = "vote_fps"
     query_mode: str = "stratified"
+    fps_candidates: int | None = None
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.backbone_net = Pointnet2Backbone(
             input_feature_dim=self.input_feature_dim,
-            query_mode=self.query_mode, dtype=self.dtype)
+            query_mode=self.query_mode,
+            fps_candidates=self.fps_candidates, dtype=self.dtype)
         self.vgen = VotingModule(self.vote_factor, 256, dtype=self.dtype)
         self.pnet = ProposalModule(
             num_class=self.num_class,
@@ -114,7 +116,8 @@ class VoteNetDA(nn.Module):
             mean_size_arr=self.mean_size_arr,
             num_proposal=self.num_proposal,
             sampling=self.sampling,
-            query_mode=self.query_mode, dtype=self.dtype)
+            query_mode=self.query_mode,
+            dtype=self.dtype)
         self.da_heads = _DAHeads(dtype=self.dtype)
 
     def __call__(self, point_clouds, rng=None, *, train: bool,
@@ -157,12 +160,14 @@ class VoteNetDAJitter2(nn.Module):
     vote_factor: int = 1
     sampling: str = "vote_fps"
     query_mode: str = "stratified"
+    fps_candidates: int | None = None
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.backbone_net = Pointnet2Backbone(
             input_feature_dim=self.input_feature_dim,
-            query_mode=self.query_mode, dtype=self.dtype)
+            query_mode=self.query_mode,
+            fps_candidates=self.fps_candidates, dtype=self.dtype)
         self.vgen = VotingModule(self.vote_factor, 256, dtype=self.dtype)
         self.pnet = ProposalModule(
             num_class=self.num_class,
@@ -171,7 +176,8 @@ class VoteNetDAJitter2(nn.Module):
             mean_size_arr=self.mean_size_arr,
             num_proposal=self.num_proposal,
             sampling=self.sampling,
-            query_mode=self.query_mode, dtype=self.dtype)
+            query_mode=self.query_mode,
+            dtype=self.dtype)
         self.da_heads = _DAHeads(dtype=self.dtype)
         # ctjt over aggregated votes (`votenet_DA.py:412-419`)
         from backtoreality_tpu.nn import SAModuleCenters
@@ -235,13 +241,15 @@ class VoteNetDAJitter(nn.Module):
     vote_factor: int = 1
     sampling: str = "vote_fps"
     query_mode: str = "stratified"
+    fps_candidates: int | None = None
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.backbone_net = Pointnet2BackboneJitter(
             num_class=self.num_class,
             input_feature_dim=self.input_feature_dim,
-            query_mode=self.query_mode, dtype=self.dtype)
+            query_mode=self.query_mode,
+            fps_candidates=self.fps_candidates, dtype=self.dtype)
         self.vgen = VotingModule(self.vote_factor, 256, dtype=self.dtype)
         self.pnet = ProposalModule(
             num_class=self.num_class,
@@ -250,7 +258,8 @@ class VoteNetDAJitter(nn.Module):
             mean_size_arr=self.mean_size_arr,
             num_proposal=self.num_proposal,
             sampling=self.sampling,
-            query_mode=self.query_mode, dtype=self.dtype)
+            query_mode=self.query_mode,
+            dtype=self.dtype)
         self.da_heads = _DAHeads(dtype=self.dtype)
         self.jitter_netD = _ConvBNStack((128, 128), out=1,
                                         dtype=self.dtype)

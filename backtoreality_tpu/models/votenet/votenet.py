@@ -24,12 +24,14 @@ class VoteNet(nn.Module):
     vote_factor: int = 1
     sampling: str = "vote_fps"
     query_mode: str = "stratified"
+    fps_candidates: int | None = None
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.backbone_net = Pointnet2Backbone(
             input_feature_dim=self.input_feature_dim,
-            query_mode=self.query_mode, dtype=self.dtype)
+            query_mode=self.query_mode,
+            fps_candidates=self.fps_candidates, dtype=self.dtype)
         self.vgen = VotingModule(self.vote_factor, 256, dtype=self.dtype)
         self.pnet = ProposalModule(
             num_class=self.num_class,

@@ -90,6 +90,7 @@ class SAModuleVotes(nn.Module, _GroupMixin):
     pooling: str = "max"
     sigma: float | None = None
     query_mode: str = "stratified"
+    fps_candidates: int | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -102,7 +103,8 @@ class SAModuleVotes(nn.Module, _GroupMixin):
         Returns (new_xyz (B,npoint,3), new_features (B,npoint,mlp[-1]),
         inds (B,npoint))."""
         if inds is None:
-            inds = ops.furthest_point_sample(xyz, self.npoint)
+            inds = ops.furthest_point_sample(
+                xyz, self.npoint, candidates=self.fps_candidates)
         new_xyz = ops.gather_points(xyz, inds)
         grouped, grouped_xyz = self._group(xyz, new_xyz, features)
         new_features = SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(
@@ -163,6 +165,7 @@ class SAModuleMSG(nn.Module):
     use_xyz: bool = True
     normalize_xyz: bool = False
     query_mode: str = "stratified"
+    fps_candidates: int | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -171,7 +174,8 @@ class SAModuleMSG(nn.Module):
         assert len(self.radii) == len(self.nsamples) == len(self.mlps)
         if self.npoint is not None:
             if inds is None:
-                inds = ops.furthest_point_sample(xyz, self.npoint)
+                inds = ops.furthest_point_sample(
+                    xyz, self.npoint, candidates=self.fps_candidates)
             new_xyz = ops.gather_points(xyz, inds)
         else:
             new_xyz = None

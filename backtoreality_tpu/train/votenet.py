@@ -82,6 +82,10 @@ def add_common_flags(parser: argparse.ArgumentParser):
     parser.add_argument("--num_devices", type=int, default=None)
     parser.add_argument("--query_mode", default="stratified",
                         choices=["stratified", "exact"])
+    parser.add_argument("--fps_candidates", type=int, default=None,
+                        help="subset-FPS at SA1: sample from the first"
+                             " K (pre-shuffled) points; ~5x faster"
+                             " FPS at K=8192")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 model compute (f32 params/stats)")
     parser.add_argument("--bn_recal_batches", type=int, default=None,
@@ -118,6 +122,7 @@ def build_model(flags, cfg, kind="plain"):
         vote_factor=flags.vote_factor,
         sampling=flags.cluster_sampling,
         query_mode=flags.query_mode,
+        fps_candidates=getattr(flags, "fps_candidates", None),
         dtype=jnp.bfloat16 if getattr(flags, "bf16", False)
         else jnp.float32,
     )

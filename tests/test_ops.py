@@ -83,6 +83,18 @@ class TestFPS:
         assert idx[1] == 99  # farthest from x=1 is x=10
         assert abs(int(idx[2]) - 49) <= 1  # then the middle
 
+    def test_candidates_subset(self):
+        # subset-FPS samples only from the first `candidates` points and
+        # equals full FPS run on that prefix.
+        rng = np.random.default_rng(5)
+        xyz = make_cloud(rng, 2, 256, pad_frac=0.0, scale=2.0)
+        got = np.asarray(ops.furthest_point_sample(
+            jnp.asarray(xyz), 16, candidates=64))
+        want = np.asarray(ops.furthest_point_sample(
+            jnp.asarray(xyz[:, :64]), 16))
+        np.testing.assert_array_equal(got, want)
+        assert got.max() < 64
+
 
 class TestBallQuery:
     @pytest.mark.parametrize(

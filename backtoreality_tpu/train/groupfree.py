@@ -216,6 +216,8 @@ def init_state(model, optimizer, sample_args, rng):
 def make_train_step(model, optimizer, criterion, cfg, loss_kwargs, *,
                     jitter=False):
     def step_fn(state, batch, rng, bn_momentum):
+        # fold the per-step key in-graph (see votenet.make_train_step)
+        rng = jax.random.fold_in(rng, state.step)
         drop_rng, rng = jax.random.split(rng)
 
         def loss_fn(params):
@@ -247,6 +249,7 @@ def make_train_step(model, optimizer, criterion, cfg, loss_kwargs, *,
 def make_da_train_step(model, optimizer, cfg, loss_kwargs, *,
                        jitter=False):
     def step_fn(state, batch_S, batch_T, rng, bn_momentum, epoch):
+        rng = jax.random.fold_in(rng, state.step)
         rng_S, rng_T = jax.random.split(rng)
 
         def loss_fn(params):
@@ -545,17 +548,16 @@ def main(recipe: str, argv=None):
         nb = 0
         aux_hist = []
         for item in iterator:
-            key = jax.random.fold_in(rng, host_step)
             host_step += 1
             if loader_S is not None:
                 batch_S, batch_T = item
                 state, aux = train_step(
                     state, shard_batch(batch_S, mesh),
-                    shard_batch(batch_T, mesh), key, bnm,
+                    shard_batch(batch_T, mesh), rng, bnm,
                     jnp.asarray(epoch, jnp.float32))
             else:
                 state, aux = train_step(
-                    state, shard_batch(item, mesh), key, bnm)
+                    state, shard_batch(item, mesh), rng, bnm)
             aux_hist.append(aux)
             nb += 1
             if nb >= steps_per_epoch:

@@ -159,6 +159,11 @@ def make_train_step(model, optimizer, criterion, cfg, *, jitter=False):
     """Single-dataset train step (FSB/WSB)."""
 
     def step_fn(state, batch, rng, bn_momentum):
+        # fold the per-step key in-graph: a separate host-dispatched
+        # fold_in program between steps costs a program-switch bubble
+        # (~tens of ms on remote devices)
+        rng = jax.random.fold_in(rng, state.step)
+
         def loss_fn(params):
             variables = {"params": params,
                          "batch_stats": state.batch_stats}
@@ -189,6 +194,7 @@ def make_da_train_step(model, optimizer, cfg, *, jitter=False):
     """Two-domain train step (BR / BR+CenterRefine)."""
 
     def step_fn(state, batch_S, batch_T, rng, bn_momentum, epoch):
+        rng = jax.random.fold_in(rng, state.step)  # see make_train_step
         rng_S, rng_T = jax.random.split(rng)
 
         def loss_fn(params):
@@ -386,11 +392,10 @@ def _train_loop_single(flags, recipe):
         aux_hist = []
         for batch in train_loader:
             dev_batch = shard_batch(batch, mesh)
-            key = jax.random.fold_in(rng, host_step)
             host_step += 1
             if flags.profile_dir and host_step == 10:
                 jax.profiler.start_trace(flags.profile_dir)
-            state, aux = train_step(state, dev_batch, key, bnm)
+            state, aux = train_step(state, dev_batch, rng, bnm)
             if flags.profile_dir and host_step == 15:
                 jax.block_until_ready(aux["loss"])
                 jax.profiler.stop_trace()
@@ -531,10 +536,9 @@ def _train_loop_da(flags, recipe):
         for batch_S, batch_T in pairs:
             dev_S = shard_batch(batch_S, mesh)
             dev_T = shard_batch(batch_T, mesh)
-            key = jax.random.fold_in(rng, host_step)
             host_step += 1
             state, aux = train_step(
-                state, dev_S, dev_T, key, bnm,
+                state, dev_S, dev_T, rng, bnm,
                 jnp.asarray(epoch, jnp.float32))
             aux_hist.append(aux)
             nb += 1

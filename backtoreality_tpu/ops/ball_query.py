@@ -202,35 +202,49 @@ def _ball_query_stratified_xla(
     return out[:, :m], hit[:, :m]
 
 
+def _split_hi_lo(x):
+    """f32 -> (hi, lo) bf16 factors via a Veltkamp split in PURE f32
+    arithmetic: t = x * (2^16 + 1); hi = t - (t - x); lo = x - hi.
+    `hi` keeps the top 8 mantissa bits (bf16-exact), `lo` the rest.
+    The obvious `bf16(x); x - f32(bf16(x))` is ELIDED by XLA under
+    --xla_allow_excess_precision (zeroing `lo` silently), and bitcast/
+    integer masking hits an emulation slow path on this backend —
+    arithmetic splitting is both correct and fast."""
+    t = x * jnp.float32(65537.0)
+    hi = t - (t - x)
+    return hi.astype(jnp.bfloat16), (x - hi).astype(jnp.bfloat16)
+
+
 def _bq_stratified_kernel(
-    xyzt_ref, p2_ref, negpos_ref, c_ref, idx_ref, hit_ref,
-    *, r2, nsample, bucket
+    pcat_ref, thresh_ref, negpos_ref, ccat_ref, idx_ref, hit_ref,
+    *, nsample, bucket
 ):
-    # xyzt_ref:   (1, 3, n_pad) coordinate-major points of one batch row
-    # p2_ref:     (1, 1, n_pad) precomputed squared norms
+    # pcat_ref:   (1, 16, n_pad) bf16 stacked point factors (wrapper).
+    # thresh_ref: (1, 1, n_pad) precomputed (|p|^2 - r^2) / 2 row.
     # negpos_ref: (1, 1, n_pad) precomputed -(i % bucket) row — integer
     #             mod is a multi-op division sequence on the VPU and this
     #             row is constant across all grid cells, so it is hoisted
     #             out of the kernel entirely.
-    # c_ref:      (1, mb, 3) one block of centers
+    # ccat_ref:   (1, mb, 16) bf16 stacked center factors.
     # idx_ref:    (1, mb, S) per-slot first-hit index (global)
     # hit_ref:    (1, mb, S) 1 where the slot's bucket had a hit
     #
-    # One MXU matmul produces all center-point cross terms; the per-
-    # bucket first hit is a single lane-aligned reshaped max reduction.
-    mb = c_ref.shape[1]
-    n_pad = xyzt_ref.shape[2]
-    centers = c_ref[0]
-    cross = jax.lax.dot_general(
-        centers,
-        xyzt_ref[0],
+    # The radius test |c-p|^2 < r^2 is algebraically
+    #     c.p - |c|^2/2  >  (|p|^2 - r^2)/2
+    # and the LEFT side comes out of ONE MXU matmul: centers carry a
+    # 4th coordinate -|c|^2/2 (against the points' ones-row), and the
+    # f32->bf16 hi/lo correction terms (hi*hi + hi*lo + lo*hi,
+    # f32-equivalent accuracy ~1e-5 abs) are stacked along the
+    # CONTRACTION axis so a single K=16 bf16 dot computes their sum —
+    # one MXU pass and one (mb, n_pad) accumulator versus six for a
+    # HIGHEST-precision f32 dot (~2x kernel speedup measured).
+    mb = ccat_ref.shape[1]
+    lhs = jax.lax.dot_general(
+        ccat_ref[0], pcat_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (mb, n_pad)
-    c2 = jnp.sum(jnp.square(centers), axis=1, keepdims=True)
-    d2 = c2 - 2.0 * cross + p2_ref[0]
-    key = jnp.where(d2 < r2, negpos_ref[0], _BIG_NEG)
+    )  # (mb, n_pad) == c.p - |c|^2/2  (3-term compensated product)
+    key = jnp.where(lhs > thresh_ref[0], negpos_ref[0], _BIG_NEG)
     best = jnp.max(key.reshape(mb, nsample, bucket), axis=2)  # (mb, S)
     has = best > _BIG_NEG
     local = jnp.where(has, -best, 0)
@@ -256,7 +270,14 @@ def _ball_query_stratified_pallas(
         pad = jnp.full((b, n_pad - n, 3), 1e6, jnp.float32)
         xyz = jnp.concatenate([xyz, pad], axis=1)
     xyzt = jnp.transpose(xyz, (0, 2, 1))  # (B, 3, n_pad)
+    ones = jnp.ones((b, 1, n_pad), jnp.float32)
+    xyzt1 = jnp.concatenate([xyzt, ones], axis=1)  # (B, 4, n_pad)
+    p_hi, p_lo = _split_hi_lo(xyzt1)
+    pcat = jnp.concatenate(
+        [p_hi, p_lo, p_hi, jnp.zeros((b, 4, n_pad), jnp.bfloat16)],
+        axis=1)  # (B, 16, n_pad): hi*hi + hi*lo + lo*hi (+4 zero rows)
     p2 = jnp.sum(jnp.square(xyzt), axis=1, keepdims=True)
+    thresh = 0.5 * (p2 - radius * radius)  # (B, 1, n_pad)
     negpos = -(jnp.arange(n_pad, dtype=jnp.int32)
                % bucket)[None, None, :]  # (1, 1, n_pad)
 
@@ -267,10 +288,15 @@ def _ball_query_stratified_pallas(
     if m_pad != m:
         pad = jnp.zeros((b, m_pad - m, 3), jnp.float32)
         new_xyz = jnp.concatenate([new_xyz, pad], axis=1)
+    c2half = 0.5 * jnp.sum(jnp.square(new_xyz), axis=-1, keepdims=True)
+    cap = jnp.concatenate([new_xyz, -c2half], axis=-1)  # (B, m_pad, 4)
+    cap_hi, cap_lo = _split_hi_lo(cap)
+    ccat = jnp.concatenate(
+        [cap_hi, cap_hi, cap_lo,
+         jnp.zeros((b, m_pad, 4), jnp.bfloat16)], axis=-1)  # (B,m_pad,16)
 
     kernel = functools.partial(
         _bq_stratified_kernel,
-        r2=radius * radius,
         nsample=nsample,
         bucket=bucket,
     )
@@ -278,13 +304,13 @@ def _ball_query_stratified_pallas(
         kernel,
         grid=(b, num_mb),
         in_specs=[
-            pl.BlockSpec((1, 3, n_pad), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 16, n_pad), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, n_pad), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, n_pad), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mb, 3), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, mb, 16), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -298,7 +324,7 @@ def _ball_query_stratified_pallas(
             jax.ShapeDtypeStruct((b, m_pad, nsample), jnp.int32),
         ),
         interpret=pallas_interpret(),
-    )(xyzt, p2, negpos, new_xyz)
+    )(pcat, thresh, negpos, ccat)
     idx, hit = idx[:, :m], hit[:, :m] > 0
     # Slot-fill (XLA side, tiny): empty slots take the globally first hit,
     # i.e. the first hit of the first non-empty bucket.

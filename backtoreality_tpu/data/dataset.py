@@ -23,6 +23,7 @@ Differences from the reference are intentional and TPU-motivated:
 from __future__ import annotations
 
 import pathlib
+import threading
 
 import numpy as np
 
@@ -65,6 +66,7 @@ class DetectionDataset:
         rot_range: float | None = None,
         seed: int = 0,
         gf_labels: bool = False,
+        ram_cache: bool = True,
     ):
         self.config = config
         self.data_path = pathlib.Path(data_path)
@@ -86,6 +88,14 @@ class DetectionDataset:
 
         self.scan_names = self._resolve_scans(split)
         self.delta = self._jitter_table()
+        # whole-split RAM cache of the raw npy quadruples (the reference
+        # GF dataset pickle-caches the entire split,
+        # `GroupFree3D/scannet/scannet_detection_dataset.py:50-126`);
+        # populated lazily, thread-safe for the threaded loader. The
+        # cached arrays are never mutated by `get` (every consumer
+        # copies via astype/fancy-index first).
+        self._cache: dict | None = {} if ram_cache else None
+        self._cache_lock = threading.Lock()
 
     # ------------------------------------------------------------------
 
@@ -141,6 +151,23 @@ class DetectionDataset:
     def __len__(self):
         return len(self.scan_names)
 
+    def _load_scan(self, scan):
+        if self._cache is not None:
+            with self._cache_lock:
+                hit = self._cache.get(scan)
+            if hit is not None:
+                return hit
+        data = (
+            np.load(self.data_path / f"{scan}_vert.npy"),
+            np.load(self.data_path / f"{scan}_ins_label.npy"),
+            np.load(self.data_path / f"{scan}_sem_label.npy"),
+            np.load(self.data_path / f"{scan}_bbox.npy"),
+        )
+        if self._cache is not None:
+            with self._cache_lock:
+                self._cache[scan] = data
+        return data
+
     # ------------------------------------------------------------------
 
     def get(self, idx: int, epoch: int = 0):
@@ -150,10 +177,8 @@ class DetectionDataset:
         cfg = self.config
         k_max = cfg.max_num_obj
         scan = self.scan_names[idx]
-        verts = np.load(self.data_path / f"{scan}_vert.npy")
-        instance_labels = np.load(self.data_path / f"{scan}_ins_label.npy")
-        semantic_labels = np.load(self.data_path / f"{scan}_sem_label.npy")
-        instance_bboxes = np.load(self.data_path / f"{scan}_bbox.npy")
+        verts, instance_labels, semantic_labels, instance_bboxes = \
+            self._load_scan(scan)
         instance_bboxes = instance_bboxes[:k_max].astype(np.float64).copy()
 
         if not self.use_color:

@@ -6,10 +6,11 @@ Mirrors the reference drivers:
                     `batch_load_scannet_data_virtual.py`
                     (scans -> *_obj_aug virtual detection data), with an
                     optional scarce-class augmentation pass
-                    (`scannet_scene_synthesis.py:557-638`, simplified:
-                    classes below the median scene frequency are
-                    inserted at free floor locations of compatible
-                    scenes as extra `scene_aug*` scans).
+                    (`scannet_scene_synthesis.py:557-638`): scenes
+                    containing bottle/cup/keyboard get `--num_aug`
+                    augmented copies (reference: 2) that duplicate the
+                    small objects with p=0.75 and insert scarce classes
+                    chosen by scene-context vectors (datagen/context.py).
 
 Usage:
   python -m backtoreality_tpu.datagen.cli export-real \
@@ -36,14 +37,12 @@ from backtoreality_tpu.datagen.scannet_adapter import (
     export_scan,
     export_weak_objects,
 )
+from backtoreality_tpu.datagen import context
 from backtoreality_tpu.datagen.synthesis import (
     SceneObject,
     synthesize_scene,
     write_scene,
 )
-
-# classes eligible for scarce-class insertion (small, free-standing)
-INSERTABLE = ("bottle", "cup", "keyboard", "laptop", "lamp", "plant")
 
 
 def load_avg_dims():
@@ -93,6 +92,8 @@ def cmd_synthesize(args):
     avg_dims = load_avg_dims()
     rng = np.random.default_rng(args.seed)
 
+    cfg_type2class = _md40_type2class()
+
     scene_records = []
     needed_classes = set()
     for scan_dir in _iter_scans(args.scans_dir):
@@ -101,13 +102,8 @@ def cmd_synthesize(args):
             continue
         scene_records.append((scan_dir.name, objects, floor_points))
         needed_classes |= {o.class_name for o in objects}
-    needed_classes |= set(INSERTABLE)
+    needed_classes |= set(context.SCARCE_TOP_COUNTS)
     library = _build_library(args, sorted(needed_classes))
-
-    class_counts = {c: 0 for c in needed_classes}
-    for _, objects, _ in scene_records:
-        for o in objects:
-            class_counts[o.class_name] += 1
 
     for name, objects, floor_points in scene_records:
         verts, sem, ins, bboxes = synthesize_scene(
@@ -117,35 +113,79 @@ def cmd_synthesize(args):
         print(f"{name}: {len(verts)} pts, {len(bboxes)} boxes")
 
     if args.num_aug > 0 and scene_records:
-        # scarce-class augmentation: insert under-represented classes
-        counts = sorted(class_counts.values())
-        median = counts[len(counts) // 2]
-        scarce = [c for c in INSERTABLE
-                  if class_counts.get(c, 0) <= median]
-        for k in range(args.num_aug):
-            name, objects, floor_points = scene_records[
-                k % len(scene_records)]
+        _synthesize_scarce_aug(args, out, scene_records, library,
+                               avg_dims, cfg_type2class, rng)
+
+
+def _md40_type2class():
+    from backtoreality_tpu.data import scannet_md40_config
+
+    return scannet_md40_config().type2class
+
+
+def _synthesize_scarce_aug(args, out, scene_records, library, avg_dims,
+                           type2class, rng):
+    """Context-vector scarce-class augmentation
+    (`scannet_scene_synthesis.py:557-638`): per gated scene (contains
+    bottle/cup/keyboard), emit `num_aug` augmented copies that
+    duplicate small objects with p=0.75 at fresh random positions and
+    insert the scarce classes whose context-selected top-N scene lists
+    contain this scene."""
+    names = [name for name, _, _ in scene_records]
+    labels = [context.cloud_label({o.class_name for o in objs},
+                                  type2class)
+              for _, objs, _ in scene_records]
+    selected = context.select_scarce_scenes(names, labels, type2class)
+    gate = context.gated(labels, type2class)
+
+    for (name, objects, floor_points), is_gated in zip(scene_records,
+                                                       gate):
+        if not is_gated:
+            continue
+        for aug_idx in range(args.num_aug):
             extra = list(objects)
             next_oid = max(o.oid for o in objects) + 1
-            for cls in scarce[: args.aug_objects]:
+            added = []
+            # scene extent for fresh positions (the reference draws
+            # uniformly in the bbox of existing object positions,
+            # `scannet_scene_synthesis.py:581-583`; gravity/collision
+            # stages then settle them)
+            xyzs = np.stack([o.center for o in objects])
+            lo, hi = xyzs.min(0), xyzs.max(0)
+
+            def rand_pos():
+                return lo + rng.random(3) * (hi - lo)
+
+            # duplicate existing small objects with p=0.75 (:589-595)
+            for o in objects:
+                if o.class_name in context.DUPLICATE_CLASSES \
+                        and rng.random() > 0.25:
+                    extra.append(SceneObject(
+                        oid=next_oid, class_name=o.class_name,
+                        center=rand_pos()))
+                    next_oid += 1
+                    added.append(o.class_name)
+            # insert context-selected scarce classes (:596-625)
+            for cls in context.SCARCE_TOP_COUNTS:
+                if name not in selected.get(cls, ()):
+                    continue
                 if cls not in library.shapes:
                     continue
-                lo = floor_points[:, 0:2].min(0) if len(floor_points) \
-                    else np.array([-2.0, -2.0])
-                hi = floor_points[:, 0:2].max(0) if len(floor_points) \
-                    else np.array([2.0, 2.0])
-                pos = lo + rng.random(2) * (hi - lo)
                 extra.append(SceneObject(
-                    oid=next_oid, class_name=cls,
-                    center=np.array([pos[0], pos[1], 0.5])))
+                    oid=next_oid, class_name=cls, center=rand_pos()))
                 next_oid += 1
+                added.append(cls)
+            if not added:
+                continue
             verts, sem, ins, bboxes = synthesize_scene(
                 extra, library, avg_dims, rng,
                 floor_points=floor_points, hpr=args.hpr)
-            write_scene(out, f"scene_aug{k:03d}_{name}", verts, sem,
-                        ins, bboxes)
-            print(f"scene_aug{k:03d}_{name}: +{len(extra)-len(objects)} "
-                  f"scarce objects")
+            # `scene0000_00` -> `scene_aug0_0000_00` (:637)
+            aug_name = (name[:5] + f"_aug{aug_idx}_" + name[5:]
+                        if name.startswith("scene")
+                        else f"{name}_aug{aug_idx}")
+            write_scene(out, aug_name, verts, sem, ins, bboxes)
+            print(f"{aug_name}: +{added}")
 
 
 def cmd_organize_matterport(args):
@@ -241,8 +281,9 @@ def main(argv=None):
     p.add_argument("--procedural", action="store_true")
     p.add_argument("--max_shapes_per_class", type=int, default=20)
     p.add_argument("--hpr", action="store_true")
-    p.add_argument("--num_aug", type=int, default=0)
-    p.add_argument("--aug_objects", type=int, default=3)
+    p.add_argument("--num_aug", type=int, default=0,
+                   help="augmented copies per gated scene"
+                        " (reference second pass uses 2)")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_synthesize)
 

@@ -110,6 +110,18 @@ def eval_det_cls(pred, gt, ovthresh=0.25, use_07_metric=False,
     return rec, prec, voc_ap(rec, prec, use_07_metric)
 
 
+def _spawn_safe() -> bool:
+    """Spawn workers re-import the parent's __main__; from a REPL /
+    stdin script that file doesn't exist and the pool respawn-fails in
+    a loop. Fall back to serial evaluation there."""
+    import os
+    import sys
+
+    main_mod = sys.modules.get("__main__")
+    main_file = getattr(main_mod, "__file__", None)
+    return main_file is None or os.path.exists(main_file)
+
+
 def _eval_cls_wrapper(args):
     pred, gt, ovthresh, use_07, get_iou_func = args
     return eval_det_cls(pred, gt, ovthresh, use_07, get_iou_func)
@@ -137,8 +149,13 @@ def eval_det(pred_all, gt_all, ovthresh=0.25, use_07_metric=False,
     classnames = [c for c in gt if c in pred]
     args = [(pred[c], gt[c], ovthresh, use_07_metric, get_iou_func)
             for c in classnames]
-    if num_workers > 0 and len(classnames) > 1:
-        with multiprocessing.Pool(num_workers) as pool:
+    if num_workers > 0 and len(classnames) > 1 and _spawn_safe():
+        # spawn, not fork: the parent has live JAX/XLA threads by eval
+        # time and forking them risks deadlock (os.fork warning). The
+        # workers only import numpy + the native IoU lib, so spawn
+        # startup is cheap.
+        ctx = multiprocessing.get_context("spawn")
+        with ctx.Pool(num_workers) as pool:
             results = pool.map(_eval_cls_wrapper, args)
     else:
         results = [_eval_cls_wrapper(a) for a in args]

@@ -41,6 +41,10 @@ class GroupFreeDetector(nn.Module):
     query_mode: str = "stratified"
     fps_candidates: int | None = None
     dtype: jnp.dtype = jnp.float32
+    # box-regression heads stay f32 under bf16 training (residual
+    # precision; see votenet.VoteNet.head_dtype) — they run on 256
+    # queries, a negligible share of the step FLOPs
+    head_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.backbone_net = GFBackbone(
@@ -55,7 +59,7 @@ class GroupFreeDetector(nn.Module):
             num_heading_bin=self.num_heading_bin,
             num_size_cluster=self.num_size_cluster,
             mean_size_arr=self.mean_size_arr,
-            seed_feat_dim=288, dtype=self.dtype)
+            seed_feat_dim=288, dtype=self.head_dtype)
         self.proposal_head = PredictHead(**head_kw)
         if self.num_decoder_layers > 0:
             self.decoder_key_proj = nn.Dense(288, dtype=self.dtype)

@@ -102,13 +102,15 @@ class VoteNetDA(nn.Module):
     query_mode: str = "stratified"
     fps_candidates: int | None = None
     dtype: jnp.dtype = jnp.float32
+    head_dtype: jnp.dtype = jnp.float32  # see votenet.VoteNet.head_dtype
 
     def setup(self):
         self.backbone_net = Pointnet2Backbone(
             input_feature_dim=self.input_feature_dim,
             query_mode=self.query_mode,
             fps_candidates=self.fps_candidates, dtype=self.dtype)
-        self.vgen = VotingModule(self.vote_factor, 256, dtype=self.dtype)
+        self.vgen = VotingModule(self.vote_factor, 256,
+                                 dtype=self.head_dtype)
         self.pnet = ProposalModule(
             num_class=self.num_class,
             num_heading_bin=self.num_heading_bin,
@@ -117,7 +119,7 @@ class VoteNetDA(nn.Module):
             num_proposal=self.num_proposal,
             sampling=self.sampling,
             query_mode=self.query_mode,
-            dtype=self.dtype)
+            dtype=self.head_dtype)
         self.da_heads = _DAHeads(dtype=self.dtype)
 
     def __call__(self, point_clouds, rng=None, *, train: bool,
@@ -162,13 +164,15 @@ class VoteNetDAJitter2(nn.Module):
     query_mode: str = "stratified"
     fps_candidates: int | None = None
     dtype: jnp.dtype = jnp.float32
+    head_dtype: jnp.dtype = jnp.float32  # see votenet.VoteNet.head_dtype
 
     def setup(self):
         self.backbone_net = Pointnet2Backbone(
             input_feature_dim=self.input_feature_dim,
             query_mode=self.query_mode,
             fps_candidates=self.fps_candidates, dtype=self.dtype)
-        self.vgen = VotingModule(self.vote_factor, 256, dtype=self.dtype)
+        self.vgen = VotingModule(self.vote_factor, 256,
+                                 dtype=self.head_dtype)
         self.pnet = ProposalModule(
             num_class=self.num_class,
             num_heading_bin=self.num_heading_bin,
@@ -177,7 +181,7 @@ class VoteNetDAJitter2(nn.Module):
             num_proposal=self.num_proposal,
             sampling=self.sampling,
             query_mode=self.query_mode,
-            dtype=self.dtype)
+            dtype=self.head_dtype)
         self.da_heads = _DAHeads(dtype=self.dtype)
         # ctjt over aggregated votes (`votenet_DA.py:412-419`)
         from backtoreality_tpu.nn import SAModuleCenters
@@ -186,7 +190,8 @@ class VoteNetDAJitter2(nn.Module):
             radius=0.8, nsample=16, mlp=[128], use_xyz=True,
             normalize_xyz=False, query_mode=self.query_mode,
             dtype=self.dtype)
-        self.jitter_net = _ConvBNStack((64,), out=3, dtype=self.dtype)
+        self.jitter_net = _ConvBNStack((64,), out=3,
+                                       dtype=self.head_dtype)
 
     def __call__(self, point_clouds, center_label, sem_cls_label,
                  rng=None, *, train: bool, bn_momentum=0.1):
@@ -243,6 +248,7 @@ class VoteNetDAJitter(nn.Module):
     query_mode: str = "stratified"
     fps_candidates: int | None = None
     dtype: jnp.dtype = jnp.float32
+    head_dtype: jnp.dtype = jnp.float32  # see votenet.VoteNet.head_dtype
 
     def setup(self):
         self.backbone_net = Pointnet2BackboneJitter(
@@ -250,7 +256,8 @@ class VoteNetDAJitter(nn.Module):
             input_feature_dim=self.input_feature_dim,
             query_mode=self.query_mode,
             fps_candidates=self.fps_candidates, dtype=self.dtype)
-        self.vgen = VotingModule(self.vote_factor, 256, dtype=self.dtype)
+        self.vgen = VotingModule(self.vote_factor, 256,
+                                 dtype=self.head_dtype)
         self.pnet = ProposalModule(
             num_class=self.num_class,
             num_heading_bin=self.num_heading_bin,
@@ -259,11 +266,12 @@ class VoteNetDAJitter(nn.Module):
             num_proposal=self.num_proposal,
             sampling=self.sampling,
             query_mode=self.query_mode,
-            dtype=self.dtype)
+            dtype=self.head_dtype)
         self.da_heads = _DAHeads(dtype=self.dtype)
         self.jitter_netD = _ConvBNStack((128, 128), out=1,
                                         dtype=self.dtype)
-        self.jitter_net = _ConvBNStack((64,), out=3, dtype=self.dtype)
+        self.jitter_net = _ConvBNStack((64,), out=3,
+                                       dtype=self.head_dtype)
 
     def __call__(self, point_clouds, center_label, sem_cls_label,
                  rng=None, *, train: bool, bn_momentum=0.1):

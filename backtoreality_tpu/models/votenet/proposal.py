@@ -114,7 +114,10 @@ class ProposalModule(nn.Module):
                        kernel_init=nn.initializers.he_normal(),
                        dtype=self.dtype, name="out")(net)
 
+        # decode in f32 (or f64 under the x64 parity tests) — never in
+        # the model compute dtype (bf16 residuals lose box precision)
+        dt = jnp.float64 if net.dtype == jnp.float64 else jnp.float32
         return decode_scores(
-            net.astype(jnp.float32), end_points, self.num_class,
+            net.astype(dt), end_points, self.num_class,
             self.num_heading_bin, self.num_size_cluster,
-            jnp.asarray(self.mean_size_arr, jnp.float32))
+            jnp.asarray(self.mean_size_arr, dt))

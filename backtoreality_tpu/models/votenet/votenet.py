@@ -26,13 +26,20 @@ class VoteNet(nn.Module):
     query_mode: str = "stratified"
     fps_candidates: int | None = None
     dtype: jnp.dtype = jnp.float32
+    # regression-head compute dtype. bf16 training with bf16 heads
+    # loses measurable end-quality (size/center residual precision
+    # drives both localization and, on md40, classification); keeping
+    # the voting + proposal MLPs in f32 costs <2% of the step FLOPs
+    # (they run on 1024/256 points vs the backbone's 40k).
+    head_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.backbone_net = Pointnet2Backbone(
             input_feature_dim=self.input_feature_dim,
             query_mode=self.query_mode,
             fps_candidates=self.fps_candidates, dtype=self.dtype)
-        self.vgen = VotingModule(self.vote_factor, 256, dtype=self.dtype)
+        self.vgen = VotingModule(self.vote_factor, 256,
+                                 dtype=self.head_dtype)
         self.pnet = ProposalModule(
             num_class=self.num_class,
             num_heading_bin=self.num_heading_bin,
@@ -41,7 +48,7 @@ class VoteNet(nn.Module):
             num_proposal=self.num_proposal,
             sampling=self.sampling,
             query_mode=self.query_mode,
-            dtype=self.dtype)
+            dtype=self.head_dtype)
 
     def __call__(self, point_clouds, rng=None, *, train: bool,
                  bn_momentum=0.1):

@@ -68,8 +68,10 @@ class BatchNorm(nn.Module):
         )
 
         reduce_axes = tuple(range(x.ndim - 1))
+        ct = jnp.promote_types(x.dtype, jnp.float32)  # f32, or f64 in
+        # the x64 parity tests — never compute stats in bf16
         if train:
-            xf = x.astype(jnp.float32)
+            xf = x.astype(ct)
             mean = jnp.mean(xf, axis=reduce_axes)
             mean2 = jnp.mean(jnp.square(xf), axis=reduce_axes)
             if self.axis_name is not None:
@@ -90,5 +92,5 @@ class BatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
-        y = (x.astype(jnp.float32) - mean) * inv + bias
+        y = (x.astype(ct) - mean) * inv + bias
         return y.astype(x.dtype)

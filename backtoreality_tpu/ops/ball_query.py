@@ -90,22 +90,34 @@ def ball_query(
     """
     b, n, _ = xyz.shape
     m = new_xyz.shape[1]
-    r2 = jnp.float32(radius * radius)
-    xyz = xyz.astype(jnp.float32)
-    new_xyz = new_xyz.astype(jnp.float32)
+    # preserve f64 when given f64 (the x64 training-dynamics parity
+    # test matches the reference stub's f64 distance comparisons);
+    # production inputs are f32/bf16 and compute in f32 as before
+    ct = jnp.float64 if xyz.dtype == jnp.float64 else jnp.float32
+    r2 = jnp.asarray(radius * radius, ct)
+    xyz = xyz.astype(ct)
+    new_xyz = new_xyz.astype(ct)
 
     chunk = min(chunk, m)
     num_chunks = -(-m // chunk)
     m_pad = num_chunks * chunk
     if m_pad != m:
-        pad = jnp.zeros((b, m_pad - m, 3), jnp.float32)
+        pad = jnp.zeros((b, m_pad - m, 3), ct)
         new_xyz = jnp.concatenate([new_xyz, pad], axis=1)
 
     j = jnp.arange(n, dtype=jnp.int32)
     slot = jnp.arange(nsample, dtype=jnp.int32)
 
     def one_chunk(centers):  # (B, chunk, 3) -> (B, chunk, nsample)
-        d2 = _pairwise_d2(centers, xyz)  # (B, chunk, N)
+        if ct == jnp.float64:
+            # direct form: the expanded form's cancellation error flips
+            # membership of points near the radius boundary vs the
+            # reference's direct-form distance test (x64 parity tests)
+            d2 = jnp.sum(
+                jnp.square(centers[:, :, None, :] - xyz[:, None, :, :]),
+                axis=-1)
+        else:
+            d2 = _pairwise_d2(centers, xyz)  # (B, chunk, N)
         mask = d2 < r2
         # Hits rank above misses; within each group the key decreases with
         # index, so top-k (descending, stable) yields "first k in index

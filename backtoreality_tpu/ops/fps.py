@@ -48,7 +48,8 @@ def _valid_mask(xyz: jax.Array) -> jax.Array:
 @functools.partial(jax.jit, static_argnums=(1,))
 def _fps_xla(xyz: jax.Array, npoint: int) -> jax.Array:
     b, n, _ = xyz.shape
-    xyz = xyz.astype(jnp.float32)
+    if xyz.dtype != jnp.float64:  # f64 preserved for x64 parity tests
+        xyz = xyz.astype(jnp.float32)
     valid = _valid_mask(xyz)
     batch_iota = jnp.arange(b)
 
@@ -65,7 +66,7 @@ def _fps_xla(xyz: jax.Array, npoint: int) -> jax.Array:
         return mindist, nxt, idxs
 
     init = (
-        jnp.where(valid, _BIG, -1.0).astype(jnp.float32),
+        jnp.where(valid, _BIG, -1.0).astype(xyz.dtype),
         jnp.zeros((b,), dtype=jnp.int32),
         jnp.zeros((b, npoint), dtype=jnp.int32),
     )
@@ -136,26 +137,104 @@ def _fps_kernel(xyzt_ref, out_ref, mind_ref):
     )
 
 
+def _fps_kernel_row(xyzt_ref, out_ref, mind_ref):
+    # Capacity variant: ONE batch row per grid step, the row's N points
+    # laid out as (S sublane-tiles, 128 lanes) so VMEM holds ~N*16B
+    # regardless of batch size. xyzt_ref: (3, 1, S, 128);
+    # out_ref: (1, 1, npoint) i32; mind_ref: (S, 128) scratch.
+    s, lanes = mind_ref.shape
+    n = s * lanes
+    npoint = out_ref.shape[2]
+
+    x = xyzt_ref[0, 0]
+    y = xyzt_ref[1, 0]
+    z = xyzt_ref[2, 0]
+    norm2 = x * x + y * y + z * z
+    sub = jax.lax.broadcasted_iota(jnp.int32, (s, lanes), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (s, lanes), 1)
+    gidx = sub * lanes + lane  # global point index, row-major over N
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, npoint), 1)
+
+    valid = (norm2 > _PAD_NORM2).astype(x.dtype)
+    mind_ref[...] = valid * (_BIG + 1.0) - 1.0
+    out_ref[...] = jnp.zeros((1, 1, npoint), dtype=jnp.int32)
+
+    def _all2d(v, op):
+        # reduce (S, 128) -> (1, 1) in two 2D stages (Mosaic dislikes
+        # multi-axis keepdims reductions / rank-1 layouts)
+        return op(op(v, axis=1, keepdims=True), axis=0, keepdims=True)
+
+    def body(j, last):
+        # last: (1, 1) int32 — previously selected global index.
+        eq = (gidx == last).astype(x.dtype)
+        x1 = _all2d(x * eq, jnp.sum)
+        y1 = _all2d(y * eq, jnp.sum)
+        z1 = _all2d(z * eq, jnp.sum)
+        d = (
+            jnp.square(x - x1)
+            + jnp.square(y - y1)
+            + jnp.square(z - z1)
+        )
+        mind = jnp.minimum(mind_ref[...], d)
+        mind_ref[...] = mind
+        best = _all2d(mind, jnp.max)  # (1, 1)
+        nxt = _all2d(jnp.where(mind == best, gidx, n),
+                     jnp.min).astype(jnp.int32)  # (1, 1)
+        out_ref[...] = out_ref[...] + (nxt * (col == j))[None]
+        return nxt
+
+    jax.lax.fori_loop(
+        1, npoint, body, jnp.zeros((1, 1), dtype=jnp.int32)
+    )
+
+
+# Empirical VMEM footprint of the whole-batch kernel is ~38 bytes per
+# (row, point): 3 coordinate planes + the min-distance scratch + Mosaic
+# temporaries (d/mind/eq/norm2 sweeps), measured against the 16 MB
+# scoped-vmem limit (B=8, N=80128 allocates 24.25 MB => ~37.8 B/pt).
+_FPS_VMEM_BUDGET = 14_000_000
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _fps_pallas(xyz: jax.Array, npoint: int,
                 compute_dtype=jnp.float32) -> jax.Array:
     b, n, _ = xyz.shape
-    # Lane-align N: unaligned lane dims drive Mosaic into a scalar slow
-    # path (~2000x at N=40000). Zero padding is the native padding
-    # convention — padded points are skipped by the ||p||^2 rule.
-    n_pad = -(-n // 128) * 128
+    # Lane-align N (also sublane-align the per-row (S, 128) layout of
+    # the capacity kernel): unaligned lane dims drive Mosaic into a
+    # scalar slow path (~2000x at N=40000). Zero padding is the native
+    # padding convention — padded points are skipped by the ||p||^2
+    # rule.
+    n_pad = -(-n // 1024) * 1024
     if n_pad != n:
         xyz = jnp.concatenate(
             [xyz, jnp.zeros((b, n_pad - n, 3), xyz.dtype)], axis=1)
     xyzt = jnp.transpose(xyz.astype(compute_dtype), (2, 0, 1))
-    return pl.pallas_call(
-        _fps_kernel,
-        out_shape=jax.ShapeDtypeStruct((b, npoint), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((b, n_pad), compute_dtype)],
+    if 40 * n_pad * b <= _FPS_VMEM_BUDGET:
+        # hot path: whole batch resident, B on sublanes, N on lanes
+        return pl.pallas_call(
+            _fps_kernel,
+            out_shape=jax.ShapeDtypeStruct((b, npoint), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((b, n_pad), compute_dtype)],
+            interpret=pallas_interpret(),
+        )(xyzt)
+    # Point-dimension capacity (SURVEY §5.7): large N runs one batch
+    # row per grid step so VMEM holds a single (S, 128) field.
+    s = n_pad // 128
+    out = pl.pallas_call(
+        _fps_kernel_row,
+        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((b, 1, npoint), jnp.int32),
+        in_specs=[pl.BlockSpec((3, 1, s, 128),
+                               lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, npoint), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((s, 128), compute_dtype)],
         interpret=pallas_interpret(),
-    )(xyzt)
+    )(xyzt.reshape(3, b, s, 128))
+    return out.reshape(b, npoint)
 
 
 def furthest_point_sample(

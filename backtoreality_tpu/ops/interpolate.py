@@ -26,8 +26,16 @@ def three_nn(unknown: jax.Array, known: jax.Array):
       dist: (B, n, 3) euclidean distances (ascending).
       idx: (B, n, 3) int32 indices into m.
     """
-    d2 = _pairwise_d2(unknown.astype(jnp.float32),
-                      known.astype(jnp.float32))  # (B, n, m)
+    if unknown.dtype == jnp.float64:
+        # f64 (x64 parity tests): direct-form distances — the expanded
+        # form's cancellation error reorders near-tied neighbours vs
+        # the reference's direct-form brute force
+        d2 = jnp.sum(
+            jnp.square(unknown[:, :, None, :] - known[:, None, :, :]),
+            axis=-1)
+    else:
+        d2 = _pairwise_d2(unknown.astype(jnp.float32),
+                          known.astype(jnp.float32))  # (B, n, m)
     neg, idx = jax.lax.top_k(-d2, 3)
     return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx.astype(jnp.int32)
 

@@ -266,9 +266,11 @@ def partial_restore(target_tree, source_tree, log=None):
 class PreemptionGuard:
     """Save-on-SIGTERM for preemptible TPU workers (SURVEY.md §5.3:
     the reference has no failure handling beyond resumable
-    checkpoints). Register once; update the latest state each epoch;
-    on SIGTERM the newest state is written before exiting, and
-    `--resume` continues from it."""
+    checkpoints). Register once; update the latest state each epoch
+    (and periodically mid-epoch — the drivers call update every
+    `GUARD_EVERY_STEPS` so a SIGTERM on a long epoch loses at most a
+    few hundred steps, not the epoch); on SIGTERM the newest snapshot
+    is written before exiting, and `--resume` continues from it."""
 
     def __init__(self, ckpt_path, logger=None):
         import signal
@@ -280,7 +282,10 @@ class PreemptionGuard:
         self._prev = signal.signal(signal.SIGTERM, self._handler)
 
     def update(self, state, epoch: int):
-        self.state = state
+        # Snapshot to host: the jitted train steps DONATE the state's
+        # device buffers, so holding the device reference would leave
+        # the SIGTERM handler with deleted arrays one step later.
+        self.state = jax.device_get(state)
         self.epoch = epoch
 
     def _handler(self, signum, frame):

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import functools
+import pathlib
 import time
 
 import numpy as np
@@ -40,6 +41,9 @@ from backtoreality_tpu.models.groupfree import (
 from backtoreality_tpu.parallel import make_mesh, replicate, shard_batch
 from backtoreality_tpu.train import common
 from backtoreality_tpu.train.observability import ScalarHistory
+
+# mid-epoch preemption snapshot cadence (see votenet.GUARD_EVERY_STEPS)
+GUARD_EVERY_STEPS = 100
 
 GF_EVAL_CONFIG_DICT = dict(
     remove_empty_box=False, use_3d_nms=True, nms_iou=0.25,
@@ -489,8 +493,19 @@ def main(recipe: str, argv=None):
                         jnp.asarray(sample["sem_cls_label"][:1]))
     state = init_state(model, optimizer, sample_args, rng)
 
+    ckpt_path = flags.log_dir + "/ckpt_epoch_last.tar"
     start_epoch = 0
-    if flags.checkpoint_path:
+    if flags.resume and not flags.checkpoint_path:
+        # resume from this run's own last checkpoint if present
+        if pathlib.Path(ckpt_path).exists():
+            sd, ckpt_epoch, _ = common.load_checkpoint(ckpt_path)
+            state = common.restore_state(state, sd, restore_opt=True)
+            start_epoch = ckpt_epoch + 1
+            logger.info("resumed %s (epoch %d)", ckpt_path, ckpt_epoch)
+        else:
+            logger.info("--resume: no checkpoint at %s, fresh start",
+                        ckpt_path)
+    elif flags.checkpoint_path:
         sd, ckpt_epoch, _ = common.load_checkpoint(flags.checkpoint_path)
         if flags.resume:
             state = common.restore_state(state, sd, restore_opt=True)
@@ -529,7 +544,6 @@ def main(recipe: str, argv=None):
 
     lr_fn, dec_lr_fn = _lr_schedules(flags, steps_per_epoch)
     bnm = jnp.asarray(flags.bn_momentum, jnp.float32)
-    ckpt_path = flags.log_dir + "/ckpt_epoch_last.tar"
     guard = common.PreemptionGuard(ckpt_path, logger)
 
     host_step = start_epoch * steps_per_epoch
@@ -560,6 +574,10 @@ def main(recipe: str, argv=None):
                     state, shard_batch(item, mesh), rng, bnm)
             aux_hist.append(aux)
             nb += 1
+            if nb % GUARD_EVERY_STEPS == 0:
+                # mid-epoch preemption snapshot (SIGTERM loses at most
+                # GUARD_EVERY_STEPS steps; epoch re-runs on resume)
+                guard.update(state, epoch - 1)
             if nb >= steps_per_epoch:
                 break
         means = common.fetch_aux_means(aux_hist)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import functools
+import pathlib
 import time
 
 import numpy as np
@@ -46,6 +47,10 @@ EVAL_CONFIG_DICT = dict(
     use_old_type_nms=False, cls_nms=True, per_class_proposal=True,
     conf_thresh=0.05,
 )
+
+# mid-epoch preemption snapshot cadence (host device_get per snapshot;
+# ~100 steps keeps the overhead well under 1%)
+GUARD_EVERY_STEPS = 100
 
 # model-output keys needed by host-side eval
 EVAL_KEYS = (
@@ -404,6 +409,8 @@ def _train_loop_single(flags, recipe):
             # remote/tunneled devices
             aux_hist.append(aux)
             nb += 1
+            if nb % GUARD_EVERY_STEPS == 0:
+                guard.update(state, epoch - 1)  # see _train_loop_da
         means = common.fetch_aux_means(aux_hist)
         dt = time.time() - t0
         logger.info(
@@ -432,6 +439,10 @@ def _train_loop_single(flags, recipe):
 
 def _train_loop_da(flags, recipe):
     """BR (DA) / BR+CenterRefine (DA + jitter head)."""
+    if getattr(flags, "multihost", False):
+        # multi-host rendezvous — the BR stages are the multi-GPU ones
+        # in the reference (`train_Votenet_BR.py:214-218`)
+        jax.distributed.initialize()
     common.enable_compilation_cache()
     cfg = get_config(flags.dataset)
     logger = common.setup_logger(flags.log_dir)
@@ -481,10 +492,27 @@ def _train_loop_da(flags, recipe):
                         jnp.asarray(sample["sem_cls_label"][:1]))
     state = init_state(model, optimizer, sample_args, rng)
 
-    if flags.checkpoint_path:
+    ckpt_name = ("train_BR_CenterRefine.tar" if jitter_model
+                 else "train_BR.tar")
+    ckpt_path = flags.log_dir + "/" + ckpt_name
+    start_epoch = 0
+    if flags.resume:
+        # resume this stage in-place: full state (opt + epoch) from the
+        # stage's own checkpoint, or --checkpoint_path if given
+        src = flags.checkpoint_path or ckpt_path
+        if pathlib.Path(src).exists():
+            sd, ckpt_epoch, _ = common.load_checkpoint(src)
+            state = common.restore_state(state, sd, restore_opt=True)
+            start_epoch = ckpt_epoch + 1
+            logger.info("resumed %s (epoch %d)", src, ckpt_epoch)
+        else:
+            logger.info("--resume: no checkpoint at %s, fresh start",
+                        src)
+    elif flags.checkpoint_path:
         sd, ckpt_epoch, _ = common.load_checkpoint(flags.checkpoint_path)
         # cross-stage grafting: BR weights into the jitter-augmented
-        # model (reference `strict=False`)
+        # model (reference `strict=False`,
+        # `train_Votenet_BR_CenterRefine.py:213-218`)
         params = common.partial_restore(
             jax.device_get(state.params), sd["params"],
             log=logger.info)
@@ -513,13 +541,10 @@ def _train_loop_da(flags, recipe):
     bn_fn = common.bn_momentum_fn(step=flags.bn_decay_step,
                                   rate=flags.bn_decay_rate)
 
-    ckpt_name = ("train_BR_CenterRefine.tar" if jitter_model
-                 else "train_BR.tar")
-    ckpt_path = flags.log_dir + "/" + ckpt_name
     steps_per_epoch = min(len(loader_S), len(loader_T))
     guard = common.PreemptionGuard(ckpt_path, logger)
-    host_step = 0
-    for epoch in range(flags.max_epoch):
+    host_step = start_epoch * steps_per_epoch
+    for epoch in range(start_epoch, flags.max_epoch):
         state = common.set_learning_rate(state, lr_fn(epoch))
         bnm = jnp.asarray(bn_fn(epoch), jnp.float32)
         loader_S.set_epoch(epoch)
@@ -542,6 +567,11 @@ def _train_loop_da(flags, recipe):
                 jnp.asarray(epoch, jnp.float32))
             aux_hist.append(aux)
             nb += 1
+            if nb % GUARD_EVERY_STEPS == 0:
+                # mid-epoch snapshot: SIGTERM loses at most
+                # GUARD_EVERY_STEPS steps; the current epoch is re-run
+                # on resume (saved as epoch-1 completed)
+                guard.update(state, epoch - 1)
             if nb >= steps_per_epoch:
                 break
         means = common.fetch_aux_means(aux_hist)

@@ -41,7 +41,6 @@ def main():
 
     rng_np = np.random.default_rng(0)
     batch = _example_batch(cfg, BATCH, NUM_POINTS, rng_np)
-    # realistic geometry: cluster points around box-like blobs
     rng = jax.random.PRNGKey(0)
     state = init_state(
         model, optimizer, (jnp.asarray(batch["point_clouds"][:1]),), rng)

@@ -126,6 +126,83 @@ def test_parse_predictions_parity(ref_ap, cfg_name):
             assert gs == pytest.approx(float(rs), rel=1e-4)
 
 
+@pytest.fixture(scope="module")
+def ref_matterport_cfg():
+    """The reference's own MatterportDatasetConfig_md40 (real 12-bin
+    heading codec, `model_util_matterport.py:32-62`) — pure numpy."""
+    vn = pathlib.Path("/root/reference/detection/Votenet")
+    for sub in ("utils", "matterport"):
+        p = str(vn / sub)
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    import importlib
+
+    mod = importlib.import_module("model_util_matterport")
+    return mod.MatterportDatasetConfig_md40()
+
+
+class TestMatterportCodecGolden:
+    """Golden parity of the 12-heading-bin codec against the reference
+    config itself (not a shim around ours)."""
+
+    def test_mean_sizes_match(self, ref_matterport_cfg):
+        from backtoreality_tpu.data import matterport_md40_config
+
+        np.testing.assert_allclose(
+            matterport_md40_config().mean_size_arr,
+            ref_matterport_cfg.mean_size_arr, rtol=1e-6)
+
+    def test_angle2class_sweep(self, ref_matterport_cfg):
+        from backtoreality_tpu.data import matterport_md40_config
+
+        cfg = matterport_md40_config()
+        for angle in np.linspace(0.0, 2 * np.pi - 1e-6, 97):
+            rc, rr = ref_matterport_cfg.angle2class(angle)
+            gc, gr = cfg.angle2class(float(angle))
+            assert gc == rc, angle
+            assert gr == pytest.approx(rr, abs=1e-9), angle
+
+    def test_class2angle_sweep(self, ref_matterport_cfg):
+        from backtoreality_tpu.data import matterport_md40_config
+
+        cfg = matterport_md40_config()
+        for cls in range(12):
+            for res in (-0.2, 0.0, 0.13):
+                ra = ref_matterport_cfg.class2angle(cls, res)
+                ga = cfg.class2angle(cls, res)
+                assert float(ga) == pytest.approx(float(ra), abs=1e-6)
+
+    def test_parse_predictions_vs_reference_codec(self, ref_ap,
+                                                  ref_matterport_cfg):
+        """End-to-end decode -> NMS -> per-class expansion where the
+        REFERENCE side uses its own matterport config object."""
+        import torch
+
+        from backtoreality_tpu.data import matterport_md40_config
+        from backtoreality_tpu.eval import parse_predictions
+
+        cfg = matterport_md40_config()
+        config_dict = dict(
+            remove_empty_box=False, use_3d_nms=True, nms_iou=0.25,
+            use_old_type_nms=False, cls_nms=True,
+            per_class_proposal=True, conf_thresh=0.05)
+        for seed in range(3):
+            ep = make_pred_end_points(cfg, seed=seed)
+            ref_preds = ref_ap.parse_predictions(
+                {k: torch.from_numpy(np.asarray(v))
+                 for k, v in ep.items()},
+                dict(config_dict, dataset_config=ref_matterport_cfg))
+            got_preds = parse_predictions(
+                ep, dict(config_dict, dataset_config=cfg))
+            assert len(got_preds) == len(ref_preds)
+            for got, ref in zip(got_preds, ref_preds):
+                assert len(got) == len(ref)
+                for (gc, gbox, gs), (rc, rbox, rs) in zip(got, ref):
+                    assert gc == rc
+                    np.testing.assert_allclose(gbox, rbox, atol=1e-4)
+                    assert gs == pytest.approx(float(rs), rel=1e-4)
+
+
 def test_full_ap_metrics_parity(ref_ap):
     import torch
 

@@ -1,0 +1,224 @@
+"""Training-DYNAMICS parity: torch reference vs JAX rebuild.
+
+The golden-activation tests prove the forward matches and the loss
+tests prove the criteria match; this test closes the remaining rung:
+N identical Adam train steps (same initial weights, same fixed batch,
+matched optimizer hyperparams) must produce tracking loss trajectories
+— i.e. gradients + optimizer + BN interact the same way over steps.
+Reference step semantics: `train_Votenet_FSB.py:211-244`.
+
+Uses sampling="seed_fps" (a reference mode, `proposal_module.py:92-109`)
+so every FPS runs on param-independent xyz — framework-epsilon weight
+drift then cannot flip sampled indices between the two implementations
+mid-trajectory.
+
+Optimizer is SGD, not Adam: Adam's first update is lr*sign(grad)
+elementwise, which turns float-reassociation noise in near-zero
+gradients into +-lr parameter flips — two correct implementations
+diverge at step 2 by construction (verified: step-1 losses match to
+1e-4, step-2 losses differ by ~25% under Adam). SGD updates stay
+proportional to the gradients, so trajectory agreement is exactly
+gradient agreement composed over steps — the property this test exists
+to pin down.
+
+Everything runs in FLOAT64 (torch .double(), jax enable_x64): in f32,
+ReLU masks and max-pool selections flip on ~1e-7 activation noise and
+the Chamfer/objectness assignments are discontinuous in the params, so
+two correct f32 implementations drift ~1% per step (measured). In f64
+any real semantics difference in forward, backward, BN, or the op
+kernels' gradients is exposed instead of buried in noise: at the
+transplanted init every parameter gradient matches torch to <3e-9
+relative (measured leaf-by-leaf), the forward end_points match to
+~1e-10, and the loss trajectory tracks to ~1e-7 per step.
+
+STEPS is 3 because trajectory agreement decays chaotically even with
+correct gradients: with ~1e7 activations there is always one within
+~1e-8 of a ReLU/max-pool/assignment boundary, and each such flip
+amplifies the sub-1e-9 reassociation noise by ~4e3 per step (measured:
+steps 0-2 at 2e-9/3e-10/7e-7 relative, step 3 at 3e-3, step 4 at 12%).
+Three tracked steps at 1e-5 already certify the gradient+optimizer
+composition; longer horizons measure chaos, not correctness.
+"""
+
+import copy
+import pathlib
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = pathlib.Path("/root/reference/detection/Votenet")
+pytestmark = pytest.mark.skipif(not REF.exists(),
+                                reason="reference not mounted")
+
+# lr sits in SGD's stable regime for this loss surface: at 1e-3 the
+# torch run explodes (loss 33 -> 202 at step 2) and any epsilon
+# difference grows chaotically.
+B, N, NUM_PROPOSAL, STEPS, LR = 2, 1024, 32, 3, 1e-4
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent))
+from test_model_parity_votenet import convert_params  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ref_env():
+    torch = pytest.importorskip("torch")
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.cuda.FloatTensor = torch.FloatTensor
+    ply = types.ModuleType("plyfile")
+    ply.PlyData = object
+    ply.PlyElement = object
+    sys.modules.setdefault("plyfile", ply)
+    sys.modules.setdefault("trimesh", types.ModuleType("trimesh"))
+    mpl = pytest.importorskip("matplotlib")
+    mpl.use("Agg")
+    import torch_ext_stub
+
+    torch_ext_stub.install()
+    for sub in ("pointnet2", "utils", "models"):
+        p = str(REF / sub)
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    import importlib
+
+    votenet_mod = importlib.import_module("votenet")
+    loss_mod = importlib.import_module("loss_helper")
+    return torch, votenet_mod, loss_mod
+
+
+def _batch():
+    """Fixed labelled batch from the synthetic-scan pipeline."""
+    from backtoreality_tpu.data import scannet_md40_config
+    from backtoreality_tpu.data.dataset import DetectionDataset
+    from backtoreality_tpu.data.synthetic import write_synthetic_scans
+
+    import tempfile
+
+    cfg = scannet_md40_config()
+    d = tempfile.mkdtemp()
+    write_synthetic_scans(d, cfg, num_scans=B, num_objects=4,
+                          points_per_object=200, floor_points=300)
+    ds = DetectionDataset(cfg, d, split="all", num_points=N)
+    items = [ds.get(i) for i in range(B)]
+    return cfg, {k: np.stack([it[k] for it in items])
+                 for k in items[0]}
+
+
+LABEL_KEYS = (
+    "center_label", "box_label_mask", "sem_cls_label",
+    "heading_class_label", "heading_residual_label",
+    "size_class_label", "size_residual_label", "vote_label",
+    "vote_label_mask",
+)
+
+
+def test_loss_trajectories_track(ref_env):
+    torch, votenet_mod, loss_mod = ref_env
+    cfg, batch = _batch()
+
+    torch.manual_seed(0)
+    ref_model = votenet_mod.VoteNet(
+        num_class=cfg.num_class,
+        num_heading_bin=cfg.num_heading_bin,
+        num_size_cluster=cfg.num_size_cluster,
+        mean_size_arr=cfg.mean_size_arr,
+        input_feature_dim=0,
+        num_proposal=NUM_PROPOSAL,
+        vote_factor=1,
+        sampling="seed_fps",
+    )
+    init_sd = copy.deepcopy(ref_model.state_dict())
+
+    # ---- torch trajectory -------------------------------------------
+    class _Cfg:
+        num_class = cfg.num_class
+        num_heading_bin = cfg.num_heading_bin
+        num_size_cluster = cfg.num_size_cluster
+        mean_size_arr = cfg.mean_size_arr
+
+    labels_t = {}
+    for k in LABEL_KEYS:
+        v = torch.from_numpy(batch[k])
+        labels_t[k] = v.long() if v.dtype in (torch.int32, torch.int64) \
+            else v.double()
+    inputs = {"point_clouds":
+              torch.from_numpy(batch["point_clouds"]).double()}
+
+    ref_model.double()
+    ref_model.train()
+    opt = torch.optim.SGD(ref_model.parameters(), lr=LR)
+    torch_losses = []
+    # the reference loss builds f32 constants via torch.Tensor(...)
+    # (e.g. the CrossEntropyLoss class weights, loss_helper.py:145);
+    # f64 default dtype makes those f64 so the double graph typechecks
+    prev_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        for _ in range(STEPS):
+            end_points = ref_model(inputs)
+            for k, v in labels_t.items():
+                end_points[k] = v
+            loss, end_points = loss_mod.get_loss(end_points, _Cfg)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            torch_losses.append(float(loss))
+    finally:
+        torch.set_default_dtype(prev_dtype)
+
+    # ---- JAX trajectory (x64) ---------------------------------------
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        import jax.numpy as jnp
+        import optax
+
+        from backtoreality_tpu.losses import votenet as vote_losses
+        from backtoreality_tpu.models.votenet import VoteNet
+        from backtoreality_tpu.train import common
+        from backtoreality_tpu.train.votenet import make_train_step
+
+        # init_sd was captured before .double(); convert leaves to f64
+        params, stats = convert_params(
+            {k: v.double() for k, v in init_sd.items()})
+        model = VoteNet(
+            num_class=cfg.num_class,
+            num_heading_bin=cfg.num_heading_bin,
+            num_size_cluster=cfg.num_size_cluster,
+            mean_size_arr=tuple(map(tuple, cfg.mean_size_arr.tolist())),
+            num_proposal=NUM_PROPOSAL,
+            sampling="seed_fps",
+            query_mode="exact",  # CUDA first-k semantics
+            dtype=jnp.float64,
+            head_dtype=jnp.float64,
+        )
+        optimizer = optax.sgd(LR)
+        state = common.TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            batch_stats=stats, opt_state=optimizer.init(params))
+        step_fn = make_train_step(model, optimizer,
+                                  vote_losses.get_loss, cfg)
+        dev_batch = {
+            k: jnp.asarray(v, jnp.float64)
+            if v.dtype == np.float32 else jnp.asarray(v)
+            for k, v in batch.items()}
+        rng = jax.random.PRNGKey(0)
+        bnm = jnp.asarray(0.1, jnp.float64)  # torch BN default;
+        # train-mode loss uses batch stats, so this cannot affect the
+        # trajectory
+        jax_losses = []
+        for _ in range(STEPS):
+            state, aux = step_fn(state, dev_batch, rng, bnm)
+            jax_losses.append(float(aux["loss"]))
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    # ---- compare ------------------------------------------------------
+    # the trajectory must actually move (dynamics exercised) ...
+    assert abs(torch_losses[0] - torch_losses[-1]) > 1e-4
+    # ... and the two frameworks must track step-for-step
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=1e-5,
+                               err_msg=f"jax={jax_losses} "
+                                       f"torch={torch_losses}")

@@ -1,9 +1,14 @@
 """CPU torch stand-in for the reference's `pointnet2._ext` CUDA module.
 
-Forward-only implementations with the exact kernel semantics
-(`_ext_src/src/*.cu`), so the reference models can run on CPU for
-golden-activation parity tests against the JAX models.
-"""
+Implementations with the exact kernel semantics (`_ext_src/src/*.cu`),
+so the reference models can run on CPU for golden-activation parity
+tests against the JAX models. The gather/group/interpolate ops also
+provide the `*_grad` scatter-add kernels the reference's autograd
+Functions call in backward, so the reference can TRAIN on CPU for the
+training-dynamics parity test. Forward outputs are fresh contiguous
+tensors (never views) — torch forbids in-place edits of views returned
+from custom Functions, and `QueryAndGroup` subtracts centers in place
+(`pointnet2_utils.py:350`)."""
 
 import numpy as np
 import torch
@@ -32,7 +37,17 @@ def gather_points(points, idx):
     """(B, C, N) x (B, M) -> (B, C, M)."""
     b = points.shape[0]
     idx = idx.long()
-    return torch.stack([points[i][:, idx[i]] for i in range(b)])
+    return torch.stack(
+        [points[i][:, idx[i]] for i in range(b)]).contiguous().clone()
+
+
+def gather_points_grad(grad_out, idx, n):
+    """(B, C, M) x (B, M) -> (B, C, N) scatter-add
+    (sampling_gpu.cu:47)."""
+    b, c, m = grad_out.shape
+    idx = idx.long().unsqueeze(1).expand(b, c, m)
+    out = torch.zeros((b, c, n), dtype=grad_out.dtype)
+    return out.scatter_add_(2, idx, grad_out)
 
 
 def ball_query(new_xyz, xyz, radius, nsample):
@@ -63,7 +78,17 @@ def group_points(points, idx):
     m, s = idx.shape[1], idx.shape[2]
     idx = idx.long().reshape(b, -1)
     out = torch.stack([points[i][:, idx[i]] for i in range(b)])
-    return out.reshape(b, c, m, s)
+    return out.reshape(b, c, m, s).contiguous().clone()
+
+
+def group_points_grad(grad_out, idx, n):
+    """(B, C, M, S) x (B, M, S) -> (B, C, N) scatter-add
+    (group_points_gpu.cu:66-68)."""
+    b, c = grad_out.shape[0], grad_out.shape[1]
+    flat = grad_out.reshape(b, c, -1)
+    idx = idx.long().reshape(b, 1, -1).expand_as(flat)
+    out = torch.zeros((b, c, n), dtype=grad_out.dtype)
+    return out.scatter_add_(2, idx, flat)
 
 
 def three_nn(unknown, known):
@@ -79,7 +104,7 @@ def three_nn(unknown, known):
         order = np.argsort(d2, axis=1, kind="stable")[:, :3]
         idx[bi] = order
         dist[bi] = np.take_along_axis(d2, order, axis=1)
-    return (torch.from_numpy(dist.astype(np.float32)),
+    return (torch.from_numpy(dist).to(unknown.dtype),
             torch.from_numpy(idx))
 
 
@@ -95,6 +120,17 @@ def three_interpolate(points, idx, weight):
     return out
 
 
+def three_interpolate_grad(grad_out, idx, weight, m):
+    """(B, C, n) x (B, n, 3) x (B, n, 3) -> (B, C, m) weighted
+    scatter-add (interpolate_gpu.cu:146-148)."""
+    b, c, n = grad_out.shape
+    weighted = grad_out.unsqueeze(-1) * weight.unsqueeze(1)  # (B,C,n,3)
+    flat = weighted.reshape(b, c, -1)
+    idx = idx.long().reshape(b, 1, -1).expand_as(flat)
+    out = torch.zeros((b, c, m), dtype=grad_out.dtype)
+    return out.scatter_add_(2, idx, flat)
+
+
 def install():
     """Register this module as `pointnet2._ext` in sys.modules."""
     import sys
@@ -102,8 +138,9 @@ def install():
 
     ext = types.ModuleType("pointnet2._ext")
     for name in ("furthest_point_sampling", "gather_points",
-                 "ball_query", "group_points", "three_nn",
-                 "three_interpolate"):
+                 "gather_points_grad", "ball_query", "group_points",
+                 "group_points_grad", "three_nn", "three_interpolate",
+                 "three_interpolate_grad"):
         setattr(ext, name, globals()[name])
     pkg = sys.modules.get("pointnet2")
     if pkg is None:

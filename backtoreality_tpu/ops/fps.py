@@ -191,8 +191,12 @@ def _fps_kernel_row(xyzt_ref, out_ref, mind_ref):
 # Empirical VMEM footprint of the whole-batch kernel is ~38 bytes per
 # (row, point): 3 coordinate planes + the min-distance scratch + Mosaic
 # temporaries (d/mind/eq/norm2 sweeps), measured against the 16 MB
-# scoped-vmem limit (B=8, N=80128 allocates 24.25 MB => ~37.8 B/pt).
-_FPS_VMEM_BUDGET = 14_000_000
+# scoped-vmem limit (B=8, N=80128 allocates 24.25 MB => ~37.8 B/pt;
+# B=8, N=50176 = 15.25 MB compiles and runs — the GF production size
+# MUST stay on the whole-batch kernel: the per-row fallback costs
+# ~33 ms vs ~8 ms there).
+_FPS_VMEM_BYTES_PER_POINT = 38
+_FPS_VMEM_BUDGET = 15_400_000
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -209,7 +213,7 @@ def _fps_pallas(xyz: jax.Array, npoint: int,
         xyz = jnp.concatenate(
             [xyz, jnp.zeros((b, n_pad - n, 3), xyz.dtype)], axis=1)
     xyzt = jnp.transpose(xyz.astype(compute_dtype), (2, 0, 1))
-    if 40 * n_pad * b <= _FPS_VMEM_BUDGET:
+    if _FPS_VMEM_BYTES_PER_POINT * n_pad * b <= _FPS_VMEM_BUDGET:
         # hot path: whole batch resident, B on sublanes, N on lanes
         return pl.pallas_call(
             _fps_kernel,

@@ -35,7 +35,13 @@ def main():
     from __graft_entry__ import _example_batch, _flags
 
     cfg = scannet_md40_config()
-    model = build_model(_flags(num_target=256), cfg)
+    # the recommended production config: subset-FPS at SA1 over 8192
+    # candidates of the pipeline-shuffled cloud. Quality-validated
+    # end-to-end (600-epoch fixture: mAP 0.3547/AR 0.811 vs full-FPS
+    # 0.3588/0.758 — within run variance; coverage 0.057 vs 0.062,
+    # RESULTS.md), ~4 ms/step faster than exact full-cloud FPS.
+    model = build_model(_flags(num_target=256, fps_candidates=8192),
+                        cfg)
     optimizer = common.make_optimizer("adam", lr0=1e-3)
     mesh = make_mesh(1)
 

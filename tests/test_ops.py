@@ -83,6 +83,21 @@ class TestFPS:
         assert idx[1] == 99  # farthest from x=1 is x=10
         assert abs(int(idx[2]) - 49) <= 1  # then the middle
 
+    def test_pallas_capacity_path_matches(self, monkeypatch):
+        # Force the per-row capacity kernel (used for clouds whose
+        # (B, N) field exceeds scoped VMEM) on a small input and check
+        # bit-equality with the whole-batch path.
+        rng = np.random.default_rng(7)
+        xyz = make_cloud(rng, 3, 2048, pad_frac=0.1)
+        want = np.asarray(fps_mod._fps_pallas(jnp.asarray(xyz), 32))
+        monkeypatch.setattr(fps_mod, "_FPS_VMEM_BUDGET", 1)
+        fps_mod._fps_pallas.clear_cache()
+        try:
+            got = np.asarray(fps_mod._fps_pallas(jnp.asarray(xyz), 32))
+        finally:
+            fps_mod._fps_pallas.clear_cache()
+        np.testing.assert_array_equal(got, want)
+
     def test_candidates_subset(self):
         # subset-FPS samples only from the first `candidates` points and
         # equals full FPS run on that prefix.

@@ -70,159 +70,15 @@ def ref_model():
     return model
 
 
-def _shared_mlp(sd, prefix, layers):
-    params, stats = {}, {}
-    for i in range(layers):
-        w = sd[f"{prefix}.layer{i}.conv.weight"].numpy()
-        params[f"dense{i}"] = {
-            "kernel": np.transpose(w[:, :, 0, 0], (1, 0))}
-        params[f"bn{i}"] = {
-            "scale": sd[f"{prefix}.layer{i}.bn.bn.weight"].numpy(),
-            "bias": sd[f"{prefix}.layer{i}.bn.bn.bias"].numpy()}
-        stats[f"bn{i}"] = {
-            "mean": sd[f"{prefix}.layer{i}.bn.bn.running_mean"].numpy(),
-            "var": sd[f"{prefix}.layer{i}.bn.bn.running_var"].numpy()}
-    return {"mlp": params}, {"mlp": stats}
-
-
-def _conv1d(sd, name):
-    w = sd[f"{name}.weight"].numpy()
-    out = {"kernel": np.transpose(w[:, :, 0], (1, 0))}
-    if f"{name}.bias" in sd:
-        out["bias"] = sd[f"{name}.bias"].numpy()
-    return out
-
-
-def _convbn_stack(sd, convs, bns):
-    """Plain torch Conv1d+BN1d stacks -> dense{i}/bn{i}; the pre-BN
-    conv bias folds into the BN running mean (BN(Wx+b; m, v) ==
-    BN(Wx; m-b, v))."""
-    params, stats = {}, {}
-    for i, (c, bnm) in enumerate(zip(convs, bns)):
-        d = _conv1d(sd, c)
-        conv_bias = d.pop("bias", 0.0)
-        params[f"dense{i}"] = d
-        params[f"bn{i}"] = {
-            "scale": sd[f"{bnm}.weight"].numpy(),
-            "bias": sd[f"{bnm}.bias"].numpy()}
-        stats[f"bn{i}"] = {
-            "mean": sd[f"{bnm}.running_mean"].numpy() - conv_bias,
-            "var": sd[f"{bnm}.running_var"].numpy()}
-    return params, stats
-
-
-def _predict_head(sd, prefix):
-    params, stats = _convbn_stack(
-        sd, [f"{prefix}.conv1", f"{prefix}.conv2"],
-        [f"{prefix}.bn1", f"{prefix}.bn2"])
-    heads = {
-        "objectness": "objectness_scores_head",
-        "center_residual": "center_residual_head",
-        "heading_class": "heading_class_head",
-        "heading_residual": "heading_residual_head",
-        "size_class": "size_class_head",
-        "size_residual": "size_residual_head",
-        "sem_cls": "sem_cls_scores_head",
-    }
-    for ours, theirs in heads.items():
-        params[ours] = _conv1d(sd, f"{prefix}.{theirs}")
-    return params, stats
-
-
-def _mha(sd, prefix, nhead):
-    """Vendored torch MultiheadAttention -> flax MHA params."""
-    hd = D // nhead
-    inw = sd[f"{prefix}.in_proj_weight"].numpy()  # (3D, D)
-    inb = sd[f"{prefix}.in_proj_bias"].numpy()
-    out = {}
-    for i, name in enumerate(("query", "key", "value")):
-        w = inw[i * D:(i + 1) * D]  # (D, D), y = W x
-        out[name] = {
-            "kernel": np.transpose(w, (1, 0)).reshape(D, nhead, hd),
-            "bias": inb[i * D:(i + 1) * D].reshape(nhead, hd)}
-    ow = sd[f"{prefix}.out_proj.weight"].numpy()  # (D, D)
-    out["out"] = {
-        "kernel": np.transpose(ow, (1, 0)).reshape(nhead, hd, D),
-        "bias": sd[f"{prefix}.out_proj.bias"].numpy()}
-    return out
-
-
-def _layernorm(sd, prefix):
-    return {"scale": sd[f"{prefix}.weight"].numpy(),
-            "bias": sd[f"{prefix}.bias"].numpy()}
-
-
-def _dense(sd, prefix):
-    return {"kernel": np.transpose(sd[f"{prefix}.weight"].numpy(),
-                                   (1, 0)),
-            "bias": sd[f"{prefix}.bias"].numpy()}
-
-
-def _posembed(sd, prefix):
-    d = _conv1d(sd, f"{prefix}.position_embedding_head.0")
-    conv_bias = d.pop("bias", 0.0)
-    params = {"dense0": d}
-    params["bn0"] = {
-        "scale": sd[f"{prefix}.position_embedding_head.1.weight"].numpy(),
-        "bias": sd[f"{prefix}.position_embedding_head.1.bias"].numpy()}
-    stats = {"bn0": {
-        "mean": sd[
-            f"{prefix}.position_embedding_head.1.running_mean"].numpy()
-        - conv_bias,
-        "var": sd[
-            f"{prefix}.position_embedding_head.1.running_var"].numpy()}}
-    params["dense1"] = _conv1d(sd, f"{prefix}.position_embedding_head.3")
-    return params, stats
+# weight conversion lives in the package now (the user-facing
+# checkpoint importer); this test is its golden validation
+from backtoreality_tpu.tools.torch_import import (  # noqa: E402
+    groupfree_state_dict,
+)
 
 
 def convert_params(sd, nhead=8):
-    params = {"backbone_net": {}}
-    stats = {"backbone_net": {}}
-    for sa in ("sa1", "sa2", "sa3", "sa4"):
-        p, s = _shared_mlp(sd, f"backbone_net.{sa}.mlp_module", 3)
-        params["backbone_net"][sa] = p
-        stats["backbone_net"][sa] = s
-    for fp in ("fp1", "fp2"):
-        p, s = _shared_mlp(sd, f"backbone_net.{fp}.mlp", 2)
-        params["backbone_net"][fp] = p
-        stats["backbone_net"][fp] = s
-
-    p, s = _convbn_stack(sd, ["points_obj_cls.conv1",
-                              "points_obj_cls.conv2"],
-                         ["points_obj_cls.bn1", "points_obj_cls.bn2"])
-    p["out"] = _conv1d(sd, "points_obj_cls.conv3")
-    params["points_obj_cls"] = p
-    stats["points_obj_cls"] = s
-
-    p, s = _predict_head(sd, "proposal_head")
-    params["proposal_head"] = p
-    stats["proposal_head"] = s
-
-    params["decoder_key_proj"] = _conv1d(sd, "decoder_key_proj")
-    params["decoder_query_proj"] = _conv1d(sd, "decoder_query_proj")
-
-    for i in range(LAYERS):
-        layer = {}
-        layer["self_attn"] = _mha(sd, f"decoder.{i}.self_attn", nhead)
-        layer["cross_attn"] = _mha(sd, f"decoder.{i}.multihead_attn",
-                                   nhead)
-        layer["linear1"] = _dense(sd, f"decoder.{i}.linear1")
-        layer["linear2"] = _dense(sd, f"decoder.{i}.linear2")
-        for nrm in ("norm1", "norm2", "norm3"):
-            layer[nrm] = _layernorm(sd, f"decoder.{i}.{nrm}")
-        params[f"decoder_{i}"] = layer
-
-        p, s = _posembed(sd, f"decoder_self_posembeds.{i}")
-        params[f"decoder_self_posembeds_{i}"] = p
-        stats[f"decoder_self_posembeds_{i}"] = s
-        p, s = _posembed(sd, f"decoder_cross_posembeds.{i}")
-        params[f"decoder_cross_posembeds_{i}"] = p
-        stats[f"decoder_cross_posembeds_{i}"] = s
-
-        p, s = _predict_head(sd, f"prediction_heads.{i}")
-        params[f"prediction_heads_{i}"] = p
-        stats[f"prediction_heads_{i}"] = s
-    return params, stats
+    return groupfree_state_dict(sd, nhead=nhead)
 
 
 def test_gf_full_graph_parity(ref_model):

@@ -64,76 +64,11 @@ def ref_model():
     return model
 
 
-def _convert_shared_mlp(dst, prefix, sd, layers):
-    """torch SharedMLP 'layerK.conv/bn.bn' -> flax denseK/bnK."""
-    params, stats = {}, {}
-    for i in range(layers):
-        w = sd[f"{prefix}.layer{i}.conv.weight"].numpy()  # (Co,Ci,1,1)
-        params[f"dense{i}"] = {
-            "kernel": np.transpose(w[:, :, 0, 0], (1, 0))}
-        params[f"bn{i}"] = {
-            "scale": sd[f"{prefix}.layer{i}.bn.bn.weight"].numpy(),
-            "bias": sd[f"{prefix}.layer{i}.bn.bn.bias"].numpy()}
-        stats[f"bn{i}"] = {
-            "mean": sd[f"{prefix}.layer{i}.bn.bn.running_mean"].numpy(),
-            "var": sd[f"{prefix}.layer{i}.bn.bn.running_var"].numpy()}
-    dst[0]["mlp"] = params
-    dst[1]["mlp"] = stats
-
-
-def _convert_head(sd, prefix, nlayers=2):
-    """torch convK/bnK stacks + final conv -> flax denseK/bnK + out."""
-    params, stats = {}, {}
-    for i in range(nlayers):
-        w = sd[f"{prefix}.conv{i+1}.weight"].numpy()  # (Co, Ci, 1)
-        params[f"dense{i}"] = {
-            "kernel": np.transpose(w[:, :, 0], (1, 0))}
-        params[f"bn{i}"] = {
-            "scale": sd[f"{prefix}.bn{i+1}.weight"].numpy(),
-            "bias": sd[f"{prefix}.bn{i+1}.bias"].numpy()}
-        # the reference's pre-BN conv bias folds exactly into the BN
-        # running mean: BN(Wx + b; m, v) == BN(Wx; m - b, v)
-        conv_bias = sd[f"{prefix}.conv{i+1}.bias"].numpy()
-        stats[f"bn{i}"] = {
-            "mean": sd[f"{prefix}.bn{i+1}.running_mean"].numpy()
-            - conv_bias,
-            "var": sd[f"{prefix}.bn{i+1}.running_var"].numpy()}
-    w = sd[f"{prefix}.conv{nlayers+1}.weight"].numpy()
-    params["out"] = {
-        "kernel": np.transpose(w[:, :, 0], (1, 0)),
-        "bias": sd[f"{prefix}.conv{nlayers+1}.bias"].numpy()}
-    return params, stats
-
-
-def convert_params(sd):
-    """Reference VoteNet state_dict -> (flax params, batch_stats)."""
-    params = {"backbone_net": {}, "vgen": {}, "pnet": {}}
-    stats = {"backbone_net": {}, "vgen": {}, "pnet": {}}
-    for sa in ("sa1", "sa2", "sa3", "sa4"):
-        dst_p, dst_s = {}, {}
-        _convert_shared_mlp([dst_p, dst_s],
-                            f"backbone_net.{sa}.mlp_module", sd, 3)
-        params["backbone_net"][sa] = dst_p
-        stats["backbone_net"][sa] = dst_s
-    for fp in ("fp1", "fp2"):
-        dst_p, dst_s = {}, {}
-        _convert_shared_mlp([dst_p, dst_s],
-                            f"backbone_net.{fp}.mlp", sd, 2)
-        params["backbone_net"][fp] = dst_p
-        stats["backbone_net"][fp] = dst_s
-
-    p, s = _convert_head(sd, "vgen")
-    params["vgen"], stats["vgen"] = p, s
-
-    dst_p, dst_s = {}, {}
-    _convert_shared_mlp([dst_p, dst_s],
-                        "pnet.vote_aggregation.mlp_module", sd, 3)
-    params["pnet"]["vote_aggregation"] = dst_p
-    stats["pnet"]["vote_aggregation"] = dst_s
-    p, s = _convert_head(sd, "pnet")
-    params["pnet"].update(p)
-    stats["pnet"].update(s)
-    return params, stats
+# weight conversion lives in the package now (the user-facing
+# checkpoint importer); these tests are its golden validation
+from backtoreality_tpu.tools.torch_import import (  # noqa: E402
+    votenet_state_dict as convert_params,
+)
 
 
 def test_full_graph_parity(ref_model):

@@ -4,5 +4,6 @@ from backtoreality_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
     replicate,
+    local_rows,
     process_shard_info,
 )

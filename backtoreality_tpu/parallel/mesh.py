@@ -31,16 +31,40 @@ def make_mesh(num_devices: int | None = None, axis_name: str = "data"
 
 
 def replicate(tree, mesh: Mesh):
-    """Place a pytree fully-replicated on the mesh."""
-    sharding = NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
+    """Place a pytree fully-replicated on the mesh. Multi-process:
+    every process must hold the same values (deterministic init from a
+    shared seed / restored checkpoint — true for the drivers)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.host_local_array_to_global_array(
+            jax.device_get(tree), mesh, P())
+    return jax.device_put(tree, NamedSharding(mesh, P()))
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     """Place a host batch dict with the leading dim sharded over
-    `axis_name`. Batch size must divide the mesh size."""
-    sharding = NamedSharding(mesh, P(axis_name))
-    return jax.device_put(batch, sharding)
+    `axis_name`. Single-process: the dict is the global batch.
+    Multi-process: each process passes its LOCAL batch (its loader
+    shard) and the global batch is their concatenation along the
+    leading dim — the DistributedSampler contract."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.host_local_array_to_global_array(
+            batch, mesh, P(axis_name))
+    return jax.device_put(batch, NamedSharding(mesh, P(axis_name)))
+
+
+def local_rows(x) -> np.ndarray:
+    """This process's rows of a batch-sharded global array, as numpy
+    (device order == local batch order). For fully-replicated or
+    single-process arrays this is just the whole array."""
+    if jax.process_count() == 1 or x.is_fully_replicated:
+        return np.asarray(jax.device_get(x))
+    shards = sorted(x.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:

@@ -25,6 +25,23 @@ import optax
 from flax import struct, serialization
 
 
+def init_multihost():
+    """Multi-host rendezvous — the torch `env://` analog
+    (`train_GF_FSB.py:450-453`). On managed clusters
+    `jax.distributed.initialize()` auto-detects (SLURM/GKE); for
+    manual launches set BTR_COORDINATOR (host:port),
+    BTR_NUM_PROCESSES and BTR_PROCESS_ID, mirroring torch's
+    MASTER_ADDR/WORLD_SIZE/RANK."""
+    coord = os.environ.get("BTR_COORDINATOR")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["BTR_NUM_PROCESSES"]),
+            process_id=int(os.environ["BTR_PROCESS_ID"]))
+    else:
+        jax.distributed.initialize()
+
+
 def enable_compilation_cache(path: str | None = None):
     """Persistent XLA compilation cache: driver restarts (resume,
     multi-stage recipes) reuse compiled executables instead of paying
@@ -137,7 +154,7 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     """Return a TrainState with the injected learning rate replaced."""
     opt_state = state.opt_state._replace(
         hyperparams={**state.opt_state.hyperparams,
-                     "learning_rate": jnp.asarray(lr, jnp.float32)})
+                     "learning_rate": np.float32(lr)})
     return state.replace(opt_state=opt_state)
 
 

@@ -38,7 +38,12 @@ from backtoreality_tpu.models.groupfree import (
     GroupFreeDetectorDA,
     GroupFreeDetectorDAJitter,
 )
-from backtoreality_tpu.parallel import make_mesh, replicate, shard_batch
+from backtoreality_tpu.parallel import (
+    local_rows,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
 from backtoreality_tpu.train import common
 from backtoreality_tpu.train.observability import ScalarHistory
 
@@ -317,7 +322,7 @@ def recalibrate_bn(state, loader, recal_step, mesh, num_batches,
     if num_batches <= 0:
         return state
     done = 0
-    bnm = jnp.asarray(momentum, jnp.float32)
+    bnm = np.float32(momentum)
     key = jax.random.PRNGKey(0)
     while done < num_batches:
         for batch in loader:
@@ -365,7 +370,8 @@ def evaluate(state, loader, eval_step, cfg, mesh, logger, flags,
         dev_batch = shard_batch(batch, mesh)
         pred, aux = eval_step(state, dev_batch)
         meter.update(jax.device_get(aux))
-        pred_np = jax.device_get(pred)
+        # per-process shard scoring (see votenet.evaluate)
+        pred_np = {k: local_rows(v) for k, v in pred.items()}
         gts = parse_groundtruths(batch, config_dict)
         for prefix in prefixes:
             preds = parse_predictions(pred_np, config_dict, prefix)
@@ -438,9 +444,7 @@ def main(recipe: str, argv=None):
     flags = parser.parse_args(argv)
 
     if getattr(flags, "multihost", False):
-        # multi-host rendezvous (the NCCL env:// analog,
-        # `train_GF_FSB.py:450-453`); coordinator/process env-configured
-        jax.distributed.initialize()
+        common.init_multihost()
     common.enable_compilation_cache()
     cfg = get_config(flags.dataset)
     logger = common.setup_logger(flags.log_dir, name="gf")
@@ -543,7 +547,7 @@ def main(recipe: str, argv=None):
         recal_batches = 20 if flags.bf16 else 0
 
     lr_fn, dec_lr_fn = _lr_schedules(flags, steps_per_epoch)
-    bnm = jnp.asarray(flags.bn_momentum, jnp.float32)
+    bnm = np.float32(flags.bn_momentum)
     guard = common.PreemptionGuard(ckpt_path, logger)
 
     host_step = start_epoch * steps_per_epoch
@@ -568,7 +572,7 @@ def main(recipe: str, argv=None):
                 state, aux = train_step(
                     state, shard_batch(batch_S, mesh),
                     shard_batch(batch_T, mesh), rng, bnm,
-                    jnp.asarray(epoch, jnp.float32))
+                    np.float32(epoch))
             else:
                 state, aux = train_step(
                     state, shard_batch(item, mesh), rng, bnm)

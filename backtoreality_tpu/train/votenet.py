@@ -38,7 +38,12 @@ from backtoreality_tpu.models.votenet import (
     VoteNetDA,
     VoteNetDAJitter,
 )
-from backtoreality_tpu.parallel import make_mesh, replicate, shard_batch
+from backtoreality_tpu.parallel import (
+    local_rows,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
 from backtoreality_tpu.train import common
 from backtoreality_tpu.train.observability import ScalarHistory
 
@@ -261,7 +266,7 @@ def recalibrate_bn(state, loader, recal_step, mesh, num_batches,
     if num_batches <= 0:
         return state
     done = 0
-    bnm = jnp.asarray(momentum, jnp.float32)
+    bnm = np.float32(momentum)
     while done < num_batches:
         for batch in loader:
             state = recal_step(state, shard_batch(batch, mesh), bnm)
@@ -301,7 +306,10 @@ def evaluate(state, loader, eval_step, cfg, mesh, logger,
         dev_batch = shard_batch(batch, mesh)
         pred, aux = eval_step(state, dev_batch, rng)
         meter.update(jax.device_get(aux))
-        pred_np = jax.device_get(pred)
+        # multi-process: each process scores ITS loader shard (the
+        # reference's per-rank evaluate over DistributedSampler shards,
+        # `train_GF_FSB.py:354-447`); rank 0 logs
+        pred_np = {k: local_rows(v) for k, v in pred.items()}
         calc.step(parse_predictions(pred_np, config_dict),
                   parse_groundtruths(batch, config_dict))
     metrics = calc.compute_metrics()
@@ -318,9 +326,7 @@ def evaluate(state, loader, eval_step, cfg, mesh, logger,
 def _train_loop_single(flags, recipe):
     """FSB (full labels) / WSB (weak, center-jittered labels)."""
     if getattr(flags, "multihost", False):
-        # multi-host rendezvous (the NCCL env:// analog,
-        # `train_GF_FSB.py:450-453`); coordinator/process env-configured
-        jax.distributed.initialize()
+        common.init_multihost()
     common.enable_compilation_cache()
     cfg = get_config(flags.dataset)
     logger = common.setup_logger(flags.log_dir)
@@ -390,7 +396,7 @@ def _train_loop_single(flags, recipe):
     host_step = 0
     for epoch in range(start_epoch, flags.max_epoch):
         state = common.set_learning_rate(state, lr_fn(epoch))
-        bnm = jnp.asarray(bn_fn(epoch), jnp.float32)
+        bnm = np.float32(bn_fn(epoch))
         train_loader.set_epoch(epoch)
         t0 = time.time()
         nb = 0
@@ -440,9 +446,9 @@ def _train_loop_single(flags, recipe):
 def _train_loop_da(flags, recipe):
     """BR (DA) / BR+CenterRefine (DA + jitter head)."""
     if getattr(flags, "multihost", False):
-        # multi-host rendezvous — the BR stages are the multi-GPU ones
-        # in the reference (`train_Votenet_BR.py:214-218`)
-        jax.distributed.initialize()
+        # the BR stages are the multi-GPU ones in the reference
+        # (`train_Votenet_BR.py:214-218`)
+        common.init_multihost()
     common.enable_compilation_cache()
     cfg = get_config(flags.dataset)
     logger = common.setup_logger(flags.log_dir)
@@ -546,7 +552,7 @@ def _train_loop_da(flags, recipe):
     host_step = start_epoch * steps_per_epoch
     for epoch in range(start_epoch, flags.max_epoch):
         state = common.set_learning_rate(state, lr_fn(epoch))
-        bnm = jnp.asarray(bn_fn(epoch), jnp.float32)
+        bnm = np.float32(bn_fn(epoch))
         loader_S.set_epoch(epoch)
         loader_T.set_epoch(epoch)
         # zip the short loader with a cycle of the longer one
@@ -564,7 +570,7 @@ def _train_loop_da(flags, recipe):
             host_step += 1
             state, aux = train_step(
                 state, dev_S, dev_T, rng, bnm,
-                jnp.asarray(epoch, jnp.float32))
+                np.float32(epoch))
             aux_hist.append(aux)
             nb += 1
             if nb % GUARD_EVERY_STEPS == 0:

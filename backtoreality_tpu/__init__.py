@@ -17,3 +17,14 @@ datagen   Virtual-scene synthesis (ModelNet40 shapes into room layouts).
 """
 
 __version__ = "0.1.0"
+
+# Platform override knob: some hosted environments pin jax_platforms in
+# a sitecustomize AFTER env vars are read, so JAX_PLATFORMS alone can't
+# force a backend. BTR_PLATFORM=cpu (set before the first jax device
+# use, e.g. for CPU-only multi-process tests/launches) wins over both.
+import os as _os
+
+if _os.environ.get("BTR_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["BTR_PLATFORM"])

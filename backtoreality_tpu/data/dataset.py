@@ -67,6 +67,7 @@ class DetectionDataset:
         seed: int = 0,
         gf_labels: bool = False,
         ram_cache: bool = True,
+        ram_cache_bytes: int | None = 8 << 30,
     ):
         self.config = config
         self.data_path = pathlib.Path(data_path)
@@ -95,6 +96,11 @@ class DetectionDataset:
         # cached arrays are never mutated by `get` (every consumer
         # copies via astype/fancy-index first).
         self._cache: dict | None = {} if ram_cache else None
+        # Soft byte budget: once the cached arrays reach it, new scans
+        # are served straight from disk (no eviction). Bounds resident
+        # memory on real-sized splits (~GBs for 1.2k ScanNet scans).
+        self._cache_budget = ram_cache_bytes
+        self._cache_bytes = 0
         self._cache_lock = threading.Lock()
 
     # ------------------------------------------------------------------
@@ -138,10 +144,14 @@ class DetectionDataset:
             # virtual data: fresh draw (`scannet_detection_dataset.py:83-84`)
             rng = np.random.default_rng(self.seed + 7919)
             return (rng.random((len(self), k, 3)) - 0.5) * self.center_jitter
-        # real data: frozen table (benchmark-defining)
+        # real data at the benchmark jitter (0.1): frozen table
+        # (benchmark-defining, `scannet/annotation_error.npy`). A
+        # non-benchmark --center_jitter deliberately bypasses the table
+        # so the knob can scale annotation error in experiments (e.g.
+        # stress-testing CenterRefine with 3-5x error).
         sub = ("scannet" if "scannet" in self.config.name else "matterport")
         table_path = ASSETS / sub / "annotation_error.npy"
-        if table_path.exists():
+        if abs(self.center_jitter - 0.1) < 1e-9 and table_path.exists():
             table = np.load(table_path)
             if table.shape[0] >= len(self) and table.shape[1] >= k:
                 return table[: len(self), :k]
@@ -164,8 +174,12 @@ class DetectionDataset:
             np.load(self.data_path / f"{scan}_bbox.npy"),
         )
         if self._cache is not None:
+            nbytes = sum(a.nbytes for a in data)
             with self._cache_lock:
-                self._cache[scan] = data
+                if (self._cache_budget is None
+                        or self._cache_bytes + nbytes <= self._cache_budget):
+                    self._cache[scan] = data
+                    self._cache_bytes += nbytes
         return data
 
     # ------------------------------------------------------------------

@@ -54,11 +54,27 @@ def generate_scene(
     room_size: float = 6.0,
     points_per_object: int = 2000,
     floor_points: int = 4000,
+    shape_library=None,
 ):
-    """Returns (verts (N,6), ins_label (N,), sem_label (N,), bbox (K,7|8))."""
+    """Returns (verts (N,6), ins_label (N,), sem_label (N,), bbox (K,7|8)).
+
+    With `shape_library` (a `datagen.library.ShapeLibrary`, e.g.
+    `procedural_library`), objects are sampled from per-class shape
+    geometry instead of plain box surfaces — classes then differ by
+    SHAPE, not just box dims (needed e.g. to test precision recipes on
+    geometry-differentiated classes)."""
     rotated = config.num_heading_bin > 1
     verts, ins, sem = [], [], []
     bboxes = []
+
+    lib_shapes = None
+    if shape_library is not None:
+        # deterministic per-class shape lists in config class order
+        lib_names = sorted(shape_library.shapes)
+        lib_shapes = [
+            shape_library.shapes[lib_names[c % len(lib_names)]]
+            for c in range(config.num_class)
+        ]
 
     floor = np.zeros((floor_points, 3))
     floor[:, 0] = (rng.random(floor_points) - 0.5) * room_size
@@ -78,8 +94,22 @@ def generate_scene(
             (rng.random() - 0.5) * (room_size - 2),
             dims[2] / 2,
         ])
-        pts = _sample_box_surface(rng, center, dims, angle,
-                                  points_per_object)
+        if lib_shapes is not None:
+            rec = lib_shapes[cls][int(rng.integers(len(lib_shapes[cls])))]
+            src = rec.points - (rec.points.max(0) + rec.points.min(0)) / 2
+            ext = np.maximum(src.max(0) - src.min(0), 1e-9)
+            src = src * (np.asarray(dims) / ext)  # scale to class dims
+            sel = rng.choice(len(src), size=points_per_object,
+                             replace=len(src) < points_per_object)
+            pts = src[sel]
+            if angle != 0.0:
+                c_, s_ = np.cos(angle), np.sin(angle)
+                rot = np.array([[c_, -s_, 0], [s_, c_, 0], [0, 0, 1]])
+                pts = pts @ rot.T
+            pts = pts + center
+        else:
+            pts = _sample_box_surface(rng, center, dims, angle,
+                                      points_per_object)
         verts.append(pts)
         ins.append(np.full(points_per_object, i + 1, dtype=np.int64))
         sem.append(np.full(points_per_object, raw_id, dtype=np.int64))

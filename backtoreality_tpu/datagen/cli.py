@@ -31,6 +31,7 @@ from backtoreality_tpu.data.config import ASSETS
 from backtoreality_tpu.datagen.library import (
     MODELNET40_CLASSES,
     load_modelnet40_library,
+    load_modelnet40_mesh_library,
     procedural_library,
 )
 from backtoreality_tpu.datagen.scannet_adapter import (
@@ -78,6 +79,13 @@ def cmd_export_real(args):
 
 
 def _build_library(args, classes):
+    if getattr(args, "modelnet_mesh_dir", None):
+        # mesh-version data roots (`*_obj_mesh_aug`): area-weighted
+        # surface sampling from the original .off meshes
+        return load_modelnet40_mesh_library(
+            args.modelnet_mesh_dir, classes=classes,
+            max_shapes_per_class=args.max_shapes_per_class,
+            seed=args.seed)
     if args.modelnet_dir:
         return load_modelnet40_library(
             args.modelnet_dir, classes=classes,
@@ -261,6 +269,10 @@ def main(argv=None):
     p.add_argument("--scans_dir", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--modelnet_dir", default=None)
+    p.add_argument("--modelnet_mesh_dir", default=None,
+                   help="original ModelNet40 .off meshes; enables the"
+                        " mesh-version (*_obj_mesh_aug) data roots via"
+                        " area-weighted surface sampling")
     p.add_argument("--procedural", action="store_true")
     p.add_argument("--max_shapes_per_class", type=int, default=20)
     p.add_argument("--hpr", action="store_true")
@@ -278,6 +290,10 @@ def main(argv=None):
     p.add_argument("--scans_dir", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--modelnet_dir", default=None)
+    p.add_argument("--modelnet_mesh_dir", default=None,
+                   help="original ModelNet40 .off meshes; enables the"
+                        " mesh-version (*_obj_mesh_aug) data roots via"
+                        " area-weighted surface sampling")
     p.add_argument("--procedural", action="store_true")
     p.add_argument("--max_shapes_per_class", type=int, default=20)
     p.add_argument("--hpr", action="store_true")

@@ -6,9 +6,12 @@ protocol: a detection is TP iff IoU > threshold with an unmatched GT
 pool like the reference's `eval_det_multiprocessing` (Pool(10)).
 """
 
+import logging
 import multiprocessing
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from backtoreality_tpu.eval.box3d import get_iou_obb
 
@@ -149,6 +152,11 @@ def eval_det(pred_all, gt_all, ovthresh=0.25, use_07_metric=False,
     classnames = [c for c in gt if c in pred]
     args = [(pred[c], gt[c], ovthresh, use_07_metric, get_iou_func)
             for c in classnames]
+    if num_workers > 0 and len(classnames) > 1 and not _spawn_safe():
+        logger.info(
+            "eval_det: num_workers=%d requested but spawn is unsafe here "
+            "(no importable __main__, e.g. a REPL); evaluating serially.",
+            num_workers)
     if num_workers > 0 and len(classnames) > 1 and _spawn_safe():
         # spawn, not fork: the parent has live JAX/XLA threads by eval
         # time and forking them risks deadlock (os.fork warning). The

@@ -25,12 +25,16 @@ def _load():
     if _tried:
         return _lib
     _tried = True
-    if not _LIB_PATH.exists():
+    src = _NATIVE_DIR / "btr_native.cpp"
+    stale = (_LIB_PATH.exists() and src.exists()
+             and src.stat().st_mtime > _LIB_PATH.stat().st_mtime)
+    if not _LIB_PATH.exists() or stale:
         try:
-            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                           capture_output=True, timeout=120)
+            subprocess.run(["make", "-C", str(_NATIVE_DIR), "-B"],
+                           check=True, capture_output=True, timeout=120)
         except (OSError, subprocess.SubprocessError):
-            return None
+            if not _LIB_PATH.exists():
+                return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:

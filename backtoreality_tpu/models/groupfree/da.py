@@ -12,6 +12,10 @@ and predicts per-center jitter with Conv 150->64->3.
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from backtoreality_tpu.nn.mlp import (
+    torch_default_bias_init,
+    torch_default_kernel_init,
+)
 
 from backtoreality_tpu.models.groupfree.detector import GroupFreeDetector
 from backtoreality_tpu.models.votenet.da import _ConvBNStack, grad_reverse
@@ -23,7 +27,10 @@ class _GFDAHeads(nn.Module):
 
     def setup(self):
         self.global_netD1 = _ConvBNStack((256, 128), dtype=self.dtype)
-        self.global_netD2 = nn.Dense(2, dtype=self.dtype)
+        self.global_netD2 = nn.Dense(
+            2, dtype=self.dtype,
+            kernel_init=torch_default_kernel_init,
+            bias_init=torch_default_bias_init(128))
         self.decoder_netD = _ConvBNStack((128, 128), out=1,
                                          dtype=self.dtype)
 

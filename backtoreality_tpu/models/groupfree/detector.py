@@ -9,6 +9,10 @@ position embeddings added to Q/K/V.
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from backtoreality_tpu.nn.mlp import (
+    torch_default_bias_init,
+    torch_default_kernel_init,
+)
 
 from backtoreality_tpu.models.groupfree.backbone import GFBackbone
 from backtoreality_tpu.models.groupfree.modules import (
@@ -62,8 +66,14 @@ class GroupFreeDetector(nn.Module):
             seed_feat_dim=288, dtype=self.head_dtype)
         self.proposal_head = PredictHead(**head_kw)
         if self.num_decoder_layers > 0:
-            self.decoder_key_proj = nn.Dense(288, dtype=self.dtype)
-            self.decoder_query_proj = nn.Dense(288, dtype=self.dtype)
+            self.decoder_key_proj = nn.Dense(
+                288, dtype=self.dtype,
+                kernel_init=torch_default_kernel_init,
+                bias_init=torch_default_bias_init(288))
+            self.decoder_query_proj = nn.Dense(
+                288, dtype=self.dtype,
+                kernel_init=torch_default_kernel_init,
+                bias_init=torch_default_bias_init(288))
             if self.self_position_embedding != "none":
                 self.decoder_self_posembeds = [
                     PositionEmbeddingLearned(288, dtype=self.dtype)

@@ -4,6 +4,10 @@
 
 import jax.numpy as jnp
 from flax import linen as nn
+from backtoreality_tpu.nn.mlp import (
+    torch_default_bias_init,
+    torch_default_kernel_init,
+)
 
 from backtoreality_tpu import ops
 from backtoreality_tpu.nn import BatchNorm
@@ -21,13 +25,15 @@ class PointsObjClsModule(nn.Module):
         net = seed_features
         for i in range(2):
             net = nn.Dense(self.feature_dim, use_bias=False,
-                           kernel_init=nn.initializers.he_normal(),
+                           kernel_init=torch_default_kernel_init,
                            dtype=self.dtype, name=f"dense{i}")(net)
             net = BatchNorm(self.feature_dim, dtype=self.dtype,
                             name=f"bn{i}")(net, train=train,
                                            momentum=bn_momentum)
             net = nn.relu(net)
         return nn.Dense(1, use_bias=True, dtype=self.dtype,
+                        kernel_init=torch_default_kernel_init,
+                        bias_init=torch_default_bias_init(net.shape[-1]),
                         name="out")(net)
 
 
@@ -41,13 +47,15 @@ class PositionEmbeddingLearned(nn.Module):
     @nn.compact
     def __call__(self, xyz, *, train: bool, bn_momentum=0.1):
         net = nn.Dense(self.num_pos_feats, use_bias=False,
-                       kernel_init=nn.initializers.he_normal(),
+                       kernel_init=torch_default_kernel_init,
                        dtype=self.dtype, name="dense0")(xyz)
         net = BatchNorm(self.num_pos_feats, dtype=self.dtype,
                         name="bn0")(net, train=train,
                                     momentum=bn_momentum)
         net = nn.relu(net)
         return nn.Dense(self.num_pos_feats, use_bias=True,
+                        kernel_init=torch_default_kernel_init,
+                        bias_init=torch_default_bias_init(net.shape[-1]),
                         dtype=self.dtype, name="dense1")(net)
 
 
@@ -85,7 +93,7 @@ class PredictHead(nn.Module):
         net = features
         for i in range(2):
             net = nn.Dense(self.seed_feat_dim, use_bias=False,
-                           kernel_init=nn.initializers.he_normal(),
+                           kernel_init=torch_default_kernel_init,
                            dtype=self.dtype, name=f"dense{i}")(net)
             net = BatchNorm(self.seed_feat_dim, dtype=self.dtype,
                             name=f"bn{i}")(net, train=train,
@@ -95,6 +103,9 @@ class PredictHead(nn.Module):
 
         def head(out, name):
             return nn.Dense(out, use_bias=True, dtype=jnp.float32,
+                            kernel_init=torch_default_kernel_init,
+                            bias_init=torch_default_bias_init(
+                                net.shape[-1]),
                             name=name)(net)
 
         objectness_scores = head(1, "objectness")  # (B, K, 1)

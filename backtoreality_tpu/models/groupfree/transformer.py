@@ -10,6 +10,10 @@ flax's dot-product attention with combined in/out projections.
 
 import jax.numpy as jnp
 from flax import linen as nn
+from backtoreality_tpu.nn.mlp import (
+    torch_default_bias_init,
+    torch_default_kernel_init,
+)
 
 
 class TransformerDecoderLayer(nn.Module):
@@ -36,6 +40,7 @@ class TransformerDecoderLayer(nn.Module):
             num_heads=self.nhead, qkv_features=self.d_model,
             out_features=self.d_model, dropout_rate=self.dropout_rate,
             deterministic=deterministic, dtype=self.dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
             name="self_attn")(q, q, q)
         query = query + dropout(attn_out, deterministic=deterministic)
         query = nn.LayerNorm(dtype=self.dtype, name="norm1")(query)
@@ -44,6 +49,7 @@ class TransformerDecoderLayer(nn.Module):
             num_heads=self.nhead, qkv_features=self.d_model,
             out_features=self.d_model, dropout_rate=self.dropout_rate,
             deterministic=deterministic, dtype=self.dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
             name="cross_attn")(
             with_pos(query, query_pos_embed),
             with_pos(key, key_pos_embed),
@@ -52,10 +58,15 @@ class TransformerDecoderLayer(nn.Module):
         query = nn.LayerNorm(dtype=self.dtype, name="norm2")(query)
 
         ff = nn.Dense(self.dim_feedforward, dtype=self.dtype,
+                      kernel_init=torch_default_kernel_init,
+                      bias_init=torch_default_bias_init(self.d_model),
                       name="linear1")(query)
         ff = nn.relu(ff)
         ff = dropout(ff, deterministic=deterministic)
         ff = nn.Dense(self.d_model, dtype=self.dtype,
+                      kernel_init=torch_default_kernel_init,
+                      bias_init=torch_default_bias_init(
+                          self.dim_feedforward),
                       name="linear2")(ff)
         query = query + dropout(ff, deterministic=deterministic)
         query = nn.LayerNorm(dtype=self.dtype, name="norm3")(query)

@@ -14,6 +14,10 @@ Adds, behind gradient reversal:
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from backtoreality_tpu.nn.mlp import (
+    torch_default_bias_init,
+    torch_default_kernel_init,
+)
 
 from backtoreality_tpu.models.votenet.backbone import (
     Pointnet2Backbone,
@@ -53,13 +57,15 @@ class _ConvBNStack(nn.Module):
         for i, ch in enumerate(self.hidden):
             # no bias before BN (see voting.py)
             x = nn.Dense(ch, use_bias=False,
-                         kernel_init=nn.initializers.he_normal(),
+                         kernel_init=torch_default_kernel_init,
                          dtype=self.dtype, name=f"dense{i}")(x)
             x = BatchNorm(ch, dtype=self.dtype, name=f"bn{i}")(
                 x, train=train, momentum=bn_momentum)
             x = nn.relu(x)
         if self.out is not None:
             x = nn.Dense(self.out, use_bias=True, dtype=self.dtype,
+                         kernel_init=torch_default_kernel_init,
+                         bias_init=torch_default_bias_init(x.shape[-1]),
                          name="out")(x)
         return x
 
@@ -71,7 +77,10 @@ class _DAHeads(nn.Module):
 
     def setup(self):
         self.global_netD1 = _ConvBNStack((256, 128), dtype=self.dtype)
-        self.global_netD2 = nn.Dense(2, dtype=self.dtype)
+        self.global_netD2 = nn.Dense(
+            2, dtype=self.dtype,
+            kernel_init=torch_default_kernel_init,
+            bias_init=torch_default_bias_init(128))
         self.local_netD = _ConvBNStack((128, 128), out=1, dtype=self.dtype)
 
     def __call__(self, end_points, *, train: bool, bn_momentum=0.1):

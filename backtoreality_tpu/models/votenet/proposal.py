@@ -10,6 +10,10 @@ semantic logits, decoded into the end_points dict.
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from backtoreality_tpu.nn.mlp import (
+    torch_default_bias_init,
+    torch_default_kernel_init,
+)
 
 from backtoreality_tpu import ops
 from backtoreality_tpu.nn import SAModuleVotes, BatchNorm
@@ -103,7 +107,7 @@ class ProposalModule(nn.Module):
             # no bias before BN (see voting.py; reference biases
             # fold into BN running means at transplant)
             net = nn.Dense(128, use_bias=False,
-                           kernel_init=nn.initializers.he_normal(),
+                           kernel_init=torch_default_kernel_init,
                            dtype=self.dtype, name=f"dense{i}")(net)
             net = BatchNorm(128, dtype=self.dtype, name=f"bn{i}")(
                 net, train=train, momentum=bn_momentum)
@@ -111,7 +115,8 @@ class ProposalModule(nn.Module):
         out_dim = (2 + 3 + self.num_heading_bin * 2
                    + self.num_size_cluster * 4 + self.num_class)
         net = nn.Dense(out_dim, use_bias=True,
-                       kernel_init=nn.initializers.he_normal(),
+                       kernel_init=torch_default_kernel_init,
+                       bias_init=torch_default_bias_init(net.shape[-1]),
                        dtype=self.dtype, name="out")(net)
 
         # decode in f32 (or f64 under the x64 parity tests) — never in

@@ -6,6 +6,10 @@ pairs; votes = seed + offset, vote features = seed features + residual.
 
 import jax.numpy as jnp
 from flax import linen as nn
+from backtoreality_tpu.nn.mlp import (
+    torch_default_bias_init,
+    torch_default_kernel_init,
+)
 
 from backtoreality_tpu.nn import BatchNorm
 
@@ -32,13 +36,14 @@ class VotingModule(nn.Module):
             # running stats freeze — checkpoint transplant folds the
             # reference bias into the BN running mean instead.
             net = nn.Dense(c, use_bias=False,
-                           kernel_init=nn.initializers.he_normal(),
+                           kernel_init=torch_default_kernel_init,
                            dtype=self.dtype, name=f"dense{i}")(net)
             net = BatchNorm(c, dtype=self.dtype, name=f"bn{i}")(
                 net, train=train, momentum=bn_momentum)
             net = nn.relu(net)
         net = nn.Dense((3 + c) * self.vote_factor, use_bias=True,
-                       kernel_init=nn.initializers.he_normal(),
+                       kernel_init=torch_default_kernel_init,
+                       bias_init=torch_default_bias_init(net.shape[-1]),
                        dtype=self.dtype, name="out")(net)
         net = net.reshape(b, num_seed, self.vote_factor, 3 + c)
         offset = net[..., 0:3]

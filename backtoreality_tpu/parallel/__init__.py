@@ -5,5 +5,6 @@ from backtoreality_tpu.parallel.mesh import (
     shard_batch,
     replicate,
     local_rows,
+    local_rows_tree,
     process_shard_info,
 )

@@ -247,7 +247,17 @@ def restore_state(state: TrainState, state_dict,
             jax.device_get(state)).get("opt_state")
         state_dict["step"] = serialization.to_state_dict(
             jax.device_get(state)).get("step")
-    return serialization.from_state_dict(state, state_dict)
+    try:
+        return serialization.from_state_dict(state, state_dict)
+    except (KeyError, ValueError, TypeError) as e:
+        raise ValueError(
+            "Checkpoint does not match this stage's full TrainState "
+            "(params + opt_state). Cross-stage checkpoints (e.g. a BR "
+            "checkpoint into CenterRefine) and torch-imported "
+            "checkpoints (opt_state={}) are weights-only: pass them "
+            "via --checkpoint_path WITHOUT --resume so they are "
+            f"partial-grafted instead. Underlying error: {e}"
+        ) from e
 
 
 def partial_restore(target_tree, source_tree, log=None):
@@ -302,6 +312,13 @@ class PreemptionGuard:
         # Snapshot to host: the jitted train steps DONATE the state's
         # device buffers, so holding the device reference would leave
         # the SIGTERM handler with deleted arrays one step later.
+        # Start all D2H copies asynchronously first so the blocking
+        # device_get waits on the slowest single transfer rather than
+        # issuing them serially (matters over the tunneled TPU where a
+        # GF AdamW state is order-100MB across many leaves).
+        for leaf in jax.tree_util.tree_leaves(state):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
         self.state = jax.device_get(state)
         self.epoch = epoch
 

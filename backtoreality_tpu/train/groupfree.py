@@ -39,7 +39,7 @@ from backtoreality_tpu.models.groupfree import (
     GroupFreeDetectorDAJitter,
 )
 from backtoreality_tpu.parallel import (
-    local_rows,
+    local_rows_tree,
     make_mesh,
     replicate,
     shard_batch,
@@ -47,8 +47,6 @@ from backtoreality_tpu.parallel import (
 from backtoreality_tpu.train import common
 from backtoreality_tpu.train.observability import ScalarHistory
 
-# mid-epoch preemption snapshot cadence (see votenet.GUARD_EVERY_STEPS)
-GUARD_EVERY_STEPS = 100
 
 GF_EVAL_CONFIG_DICT = dict(
     remove_empty_box=False, use_3d_nms=True, nms_iou=0.25,
@@ -143,7 +141,14 @@ def add_flags(parser: argparse.ArgumentParser):
     parser.add_argument("--resume", action="store_true",
                         help="restore full state + epoch from"
                              " --checkpoint_path and continue")
+    parser.add_argument("--guard_every_steps", type=int, default=100,
+                        help="mid-epoch preemption-snapshot cadence in"
+                             " steps (0 disables; each snapshot is a"
+                             " blocking full-state host fetch)")
     parser.add_argument("--profile_dir", default=None)
+    parser.add_argument("--ram_cache_gb", type=float, default=8.0,
+                        help="per-dataset RAM cache budget for raw scan"
+                             " arrays (0 disables caching)")
     parser.add_argument("--train_split", default="train")
     parser.add_argument("--val_split", default="val")
     parser.add_argument("--val_data_root", default=None)
@@ -371,7 +376,7 @@ def evaluate(state, loader, eval_step, cfg, mesh, logger, flags,
         pred, aux = eval_step(state, dev_batch)
         meter.update(jax.device_get(aux))
         # per-process shard scoring (see votenet.evaluate)
-        pred_np = {k: local_rows(v) for k, v in pred.items()}
+        pred_np = local_rows_tree(pred)
         gts = parse_groundtruths(batch, config_dict)
         for prefix in prefixes:
             preds = parse_predictions(pred_np, config_dict, prefix)
@@ -410,10 +415,12 @@ def _lr_schedules(flags, steps_per_epoch):
 
 
 def _make_datasets(flags, cfg, recipe):
+    gb = getattr(flags, "ram_cache_gb", 8.0)
     common_kw = dict(
         num_points=flags.num_point, use_color=flags.use_color,
         use_height=flags.use_height, seed=flags.rng_seed,
-        gf_labels=True)
+        gf_labels=True, ram_cache=gb > 0,
+        ram_cache_bytes=int(gb * 2**30) if gb > 0 else None)
     jitter = getattr(flags, "center_jitter", 0.0)
     if recipe in ("fsb", "wsb"):
         train_ds = DetectionDataset(
@@ -549,6 +556,7 @@ def main(recipe: str, argv=None):
     lr_fn, dec_lr_fn = _lr_schedules(flags, steps_per_epoch)
     bnm = np.float32(flags.bn_momentum)
     guard = common.PreemptionGuard(ckpt_path, logger)
+    guard_every = max(0, getattr(flags, 'guard_every_steps', 100))
 
     host_step = start_epoch * steps_per_epoch
     for epoch in range(start_epoch, flags.max_epoch):
@@ -578,9 +586,9 @@ def main(recipe: str, argv=None):
                     state, shard_batch(item, mesh), rng, bnm)
             aux_hist.append(aux)
             nb += 1
-            if nb % GUARD_EVERY_STEPS == 0:
+            if guard_every and nb % guard_every == 0:
                 # mid-epoch preemption snapshot (SIGTERM loses at most
-                # GUARD_EVERY_STEPS steps; epoch re-runs on resume)
+                # --guard_every_steps steps; epoch re-runs on resume)
                 guard.update(state, epoch - 1)
             if nb >= steps_per_epoch:
                 break

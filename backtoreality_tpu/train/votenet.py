@@ -39,7 +39,7 @@ from backtoreality_tpu.models.votenet import (
     VoteNetDAJitter,
 )
 from backtoreality_tpu.parallel import (
-    local_rows,
+    local_rows_tree,
     make_mesh,
     replicate,
     shard_batch,
@@ -53,9 +53,6 @@ EVAL_CONFIG_DICT = dict(
     conf_thresh=0.05,
 )
 
-# mid-epoch preemption snapshot cadence (host device_get per snapshot;
-# ~100 steps keeps the overhead well under 1%)
-GUARD_EVERY_STEPS = 100
 
 # model-output keys needed by host-side eval
 EVAL_KEYS = (
@@ -111,10 +108,24 @@ def add_common_flags(parser: argparse.ArgumentParser):
     parser.add_argument("--resume", action="store_true",
                         help="restore optimizer state + epoch from"
                              " --checkpoint_path and continue")
+    parser.add_argument("--guard_every_steps", type=int, default=100,
+                        help="mid-epoch preemption-snapshot cadence in"
+                             " steps (0 disables; each snapshot is a"
+                             " blocking full-state host fetch)")
     parser.add_argument("--profile_dir", default=None,
                         help="jax.profiler trace dir (traces steps"
                              " 10-15 of the first epoch)")
+    parser.add_argument("--ram_cache_gb", type=float, default=8.0,
+                        help="per-dataset RAM cache budget for raw scan"
+                             " arrays (0 disables caching)")
     return parser
+
+
+def _cache_kw(flags) -> dict:
+    gb = getattr(flags, "ram_cache_gb", 8.0)
+    if gb <= 0:
+        return dict(ram_cache=False)
+    return dict(ram_cache=True, ram_cache_bytes=int(gb * 2**30))
 
 
 def _input_dim(flags) -> int:
@@ -309,7 +320,7 @@ def evaluate(state, loader, eval_step, cfg, mesh, logger,
         # multi-process: each process scores ITS loader shard (the
         # reference's per-rank evaluate over DistributedSampler shards,
         # `train_GF_FSB.py:354-447`); rank 0 logs
-        pred_np = {k: local_rows(v) for k, v in pred.items()}
+        pred_np = local_rows_tree(pred)
         calc.step(parse_predictions(pred_np, config_dict),
                   parse_groundtruths(batch, config_dict))
     metrics = calc.compute_metrics()
@@ -338,12 +349,12 @@ def _train_loop_single(flags, recipe):
         cfg, flags.data_root, split=flags.train_split,
         num_points=flags.num_point, use_color=flags.use_color,
         use_height=not flags.no_height, augment=True,
-        center_jitter=jitter, seed=flags.seed)
+        center_jitter=jitter, seed=flags.seed, **_cache_kw(flags))
     val_ds = DetectionDataset(
         cfg, flags.val_data_root or flags.data_root,
         split=flags.val_split, num_points=flags.num_point,
         use_color=flags.use_color, use_height=not flags.no_height,
-        augment=False, seed=flags.seed)
+        augment=False, seed=flags.seed, **_cache_kw(flags))
     nshard, ishard = jax.process_count(), jax.process_index()
     train_loader = DetectionDataLoader(
         train_ds, flags.batch_size, seed=flags.seed,
@@ -393,6 +404,7 @@ def _train_loop_single(flags, recipe):
 
     ckpt_path = (flags.log_dir + "/checkpoint.tar")
     guard = common.PreemptionGuard(ckpt_path, logger)
+    guard_every = max(0, getattr(flags, 'guard_every_steps', 100))
     host_step = 0
     for epoch in range(start_epoch, flags.max_epoch):
         state = common.set_learning_rate(state, lr_fn(epoch))
@@ -415,7 +427,7 @@ def _train_loop_single(flags, recipe):
             # remote/tunneled devices
             aux_hist.append(aux)
             nb += 1
-            if nb % GUARD_EVERY_STEPS == 0:
+            if guard_every and nb % guard_every == 0:
                 guard.update(state, epoch - 1)  # see _train_loop_da
         means = common.fetch_aux_means(aux_hist)
         dt = time.time() - t0
@@ -460,17 +472,19 @@ def _train_loop_da(flags, recipe):
         cfg, flags.source_data_root, split="train_aug",
         num_points=flags.num_point, use_color=flags.use_color,
         use_height=not flags.no_height, augment=True,
-        center_jitter=flags.center_jitter, seed=flags.seed)
+        center_jitter=flags.center_jitter, seed=flags.seed,
+        **_cache_kw(flags))
     train_ds_T = DetectionDataset(
         cfg, flags.data_root, split=flags.train_split,
         num_points=flags.num_point, use_color=flags.use_color,
         use_height=not flags.no_height, augment=True,
-        center_jitter=flags.center_jitter, seed=flags.seed)
+        center_jitter=flags.center_jitter, seed=flags.seed,
+        **_cache_kw(flags))
     val_ds = DetectionDataset(
         cfg, flags.val_data_root or flags.data_root,
         split=flags.val_split, num_points=flags.num_point,
         use_color=flags.use_color, use_height=not flags.no_height,
-        augment=False, seed=flags.seed)
+        augment=False, seed=flags.seed, **_cache_kw(flags))
     nshard, ishard = jax.process_count(), jax.process_index()
     loader_S = DetectionDataLoader(train_ds_S, flags.batch_size,
                                    seed=flags.seed, num_shards=nshard,
@@ -549,6 +563,7 @@ def _train_loop_da(flags, recipe):
 
     steps_per_epoch = min(len(loader_S), len(loader_T))
     guard = common.PreemptionGuard(ckpt_path, logger)
+    guard_every = max(0, getattr(flags, 'guard_every_steps', 100))
     host_step = start_epoch * steps_per_epoch
     for epoch in range(start_epoch, flags.max_epoch):
         state = common.set_learning_rate(state, lr_fn(epoch))
@@ -573,9 +588,9 @@ def _train_loop_da(flags, recipe):
                 np.float32(epoch))
             aux_hist.append(aux)
             nb += 1
-            if nb % GUARD_EVERY_STEPS == 0:
+            if guard_every and nb % guard_every == 0:
                 # mid-epoch snapshot: SIGTERM loses at most
-                # GUARD_EVERY_STEPS steps; the current epoch is re-run
+                # --guard_every_steps steps; the current epoch is re-run
                 # on resume (saved as epoch-1 completed)
                 guard.update(state, epoch - 1)
             if nb >= steps_per_epoch:

@@ -188,3 +188,78 @@ class TestExport:
         vis = hidden_point_removal(xyz, [0, 0, 10.0])
         frac_inner = np.mean(vis >= 2000)
         assert frac_inner < 0.2  # inner sphere mostly invisible
+
+
+class TestMeshLibrary:
+    """Mesh-version (*_obj_mesh_aug) library: .off parsing +
+    area-weighted surface sampling (reference README.md:63-100 data
+    contract; the reference omits the generator)."""
+
+    def _write_off(self, path, corrupt_header=False):
+        # unit cube: 8 verts, 6 quad faces (fan-triangulated on read)
+        v = [(x, y, z) for z in (0, 1) for y in (0, 1) for x in (0, 1)]
+        faces = [
+            (0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1),
+            (2, 3, 7, 6), (0, 2, 6, 4), (1, 5, 7, 3),
+        ]
+        lines = []
+        if corrupt_header:
+            lines.append(f"OFF{len(v)} {len(faces)} 0")
+        else:
+            lines.append("OFF")
+            lines.append(f"{len(v)} {len(faces)} 0")
+        lines += [f"{x} {y} {z}" for x, y, z in v]
+        lines += ["4 " + " ".join(map(str, f)) for f in faces]
+        path.write_text("\n".join(lines) + "\n")
+
+    def test_read_off_and_corrupt_header(self, tmp_path):
+        from backtoreality_tpu.datagen.library import read_off
+
+        p1 = tmp_path / "a.off"
+        p2 = tmp_path / "b.off"
+        self._write_off(p1)
+        self._write_off(p2, corrupt_header=True)
+        for p in (p1, p2):
+            verts, faces = read_off(p)
+            assert verts.shape == (8, 3)
+            assert faces.shape == (12, 3)  # 6 quads fan-split
+
+    def test_area_weighted_sampling(self, tmp_path):
+        from backtoreality_tpu.datagen.library import (
+            read_off,
+            sample_mesh_points,
+        )
+
+        p = tmp_path / "cube.off"
+        self._write_off(p)
+        verts, faces = read_off(p)
+        rng = np.random.default_rng(0)
+        pts = sample_mesh_points(verts, faces, 30000, rng)
+        # samples lie inside the mesh AABB and reach its corners
+        assert pts.min() >= -1e-12 and pts.max() <= 1 + 1e-12
+        np.testing.assert_allclose(pts.min(0), [0, 0, 0], atol=0.01)
+        np.testing.assert_allclose(pts.max(0), [1, 1, 1], atol=0.01)
+        # every sample sits ON the surface (some coord at 0 or 1)
+        on_face = np.isclose(pts, 0).any(1) | np.isclose(pts, 1).any(1)
+        assert on_face.all()
+        # uniform density: each of the 6 equal-area faces gets ~1/6
+        for axis in range(3):
+            for val in (0.0, 1.0):
+                frac = np.isclose(pts[:, axis], val).mean()
+                assert abs(frac - 1 / 6) < 0.02
+
+    def test_mesh_library_loads(self, tmp_path):
+        from backtoreality_tpu.datagen.library import (
+            load_modelnet40_mesh_library,
+        )
+
+        d = tmp_path / "table" / "train"
+        d.mkdir(parents=True)
+        self._write_off(d / "table_0001.off")
+        lib = load_modelnet40_mesh_library(tmp_path,
+                                           points_per_shape=2000)
+        assert "table" in lib.shapes
+        rec = lib.shapes["table"][0]
+        assert rec.name == "table_0001"
+        # y-up -> z-up swap keeps the unit cube a unit cube
+        np.testing.assert_allclose(rec.extents, [1, 1, 1], atol=0.02)

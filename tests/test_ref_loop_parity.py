@@ -1,0 +1,108 @@
+"""System-level parity machinery: the reference's OWN torch training
+loop (tools/ref_loop.py) runs on a fixture, its checkpoint round-trips
+through tools/torch_import.py, and our eval scores it.
+
+The full 60-epoch curve comparison lives in RESULTS.md (system-parity
+section); this test keeps the machinery green: slow-gated because the
+torch loop on CPU takes minutes.
+"""
+
+import json
+import os
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+REF = pathlib.Path("/root/reference/detection/Votenet")
+pytestmark = [
+    pytest.mark.skipif(not REF.exists(), reason="reference not mounted"),
+    pytest.mark.skipif(
+        os.environ.get("BTR_SLOW_TESTS", "0") != "1",
+        reason="torch reference loop on CPU takes minutes; "
+               "set BTR_SLOW_TESTS=1 to run."),
+]
+
+
+def test_ref_loop_and_import_roundtrip(tmp_path):
+    from backtoreality_tpu.data import scannet_md40_config
+    from backtoreality_tpu.data.synthetic import write_synthetic_scans
+
+    cfg = scannet_md40_config()
+    train_d = tmp_path / "train"
+    val_d = tmp_path / "val"
+    write_synthetic_scans(train_d, cfg, num_scans=8, num_objects=4,
+                          points_per_object=500, floor_points=1200,
+                          seed=0)
+    write_synthetic_scans(val_d, cfg, num_scans=4, num_objects=4,
+                          points_per_object=500, floor_points=1200,
+                          seed=1)
+
+    # 1. the reference's own loop (torch CPU, stubbed ops)
+    from backtoreality_tpu.tools import ref_loop
+
+    log_dir = tmp_path / "ref_log"
+    ref_loop.main([
+        "--data_root", str(train_d), "--val_data_root", str(val_d),
+        "--log_dir", str(log_dir), "--num_point", "1200",
+        "--num_target", "16", "--max_epoch", "2", "--eval_freq", "2",
+        "--batch_size", "4"])
+    hist = [json.loads(line) for line in
+            (log_dir / "history.jsonl").read_text().splitlines()]
+    assert len(hist) == 2
+    assert all(np.isfinite(h["loss"]) for h in hist)
+    assert "eval_loss" in hist[-1]
+
+    # 2. its checkpoint (reference format) through the importer
+    from backtoreality_tpu.tools.torch_import import main as import_main
+
+    imported = tmp_path / "imported.tar"
+    import_main([str(log_dir / "checkpoint.tar"), "--model", "votenet",
+                 "--out", str(imported)])
+
+    # 3. scored by OUR eval stack
+    import jax
+    import jax.numpy as jnp
+
+    from backtoreality_tpu.data.dataset import DetectionDataset
+    from backtoreality_tpu.data.loader import DetectionDataLoader
+    from backtoreality_tpu.losses import votenet as vote_losses
+    from backtoreality_tpu.parallel import make_mesh, replicate
+    from backtoreality_tpu.train import common
+    from backtoreality_tpu.train import votenet as vn
+
+    class F:
+        no_height = False
+        use_color = False
+        num_target = 16
+        vote_factor = 1
+        cluster_sampling = "vote_fps"
+        query_mode = "exact"
+
+    model = vn.build_model(F(), cfg)
+    optimizer = common.make_optimizer("adam", lr0=1e-3)
+    val_ds = DetectionDataset(cfg, val_d, split="all",
+                              num_points=1200, use_height=True)
+    val_loader = DetectionDataLoader(val_ds, 4, shuffle=False,
+                                     drop_last=False)
+    sample = next(iter(val_loader))
+    state = vn.init_state(
+        model, optimizer,
+        (jnp.asarray(sample["point_clouds"][:1]),),
+        jax.random.PRNGKey(0))
+    sd, epoch, _ = common.load_checkpoint(imported)
+    assert epoch == 1
+    params = common.partial_restore(
+        jax.device_get(state.params), sd["params"])
+    stats = common.partial_restore(
+        jax.device_get(state.batch_stats), sd["batch_stats"])
+    state = state.replace(params=params, batch_stats=stats)
+
+    mesh = make_mesh(1)
+    state = replicate(state, mesh)
+    eval_step = vn.make_eval_step(model, vote_losses.get_loss, cfg)
+    metrics, means = vn.evaluate(state, val_loader, eval_step, cfg,
+                                 mesh, None)
+    assert np.isfinite(means["loss"])
+    assert 0.0 <= metrics["mAP"] <= 1.0

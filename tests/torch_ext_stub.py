@@ -19,17 +19,18 @@ def furthest_point_sampling(xyz, npoint):
     x = xyz.detach().cpu().numpy().astype(np.float64)
     b, n, _ = x.shape
     out = np.zeros((b, npoint), dtype=np.int32)
-    for bi in range(b):
-        pts = x[bi]
-        valid = np.sum(pts * pts, axis=1) > 1e-3
-        temp = np.full(n, 1e10)
-        old = 0
-        for j in range(1, npoint):
-            d = np.sum((pts - pts[old]) ** 2, axis=1)
-            temp = np.minimum(temp, d)
-            cand = np.where(valid, temp, -1.0)
-            old = int(np.argmax(cand))
-            out[bi, j] = old
+    # batched over b (same per-batch semantics as a scalar loop):
+    # one sequential sweep over npoint, vectorized distance updates
+    valid = np.sum(x * x, axis=2) > 1e-3  # (b, n)
+    temp = np.full((b, n), 1e10)
+    old = np.zeros(b, dtype=np.int64)
+    rows = np.arange(b)
+    for j in range(1, npoint):
+        d = np.sum((x - x[rows, old][:, None, :]) ** 2, axis=2)
+        temp = np.minimum(temp, d)
+        cand = np.where(valid, temp, -1.0)
+        old = np.argmax(cand, axis=1)
+        out[:, j] = old
     return torch.from_numpy(out)
 
 
@@ -64,11 +65,19 @@ def ball_query(new_xyz, xyz, radius, nsample):
     for bi in range(b):
         d2 = np.sum(
             (c[bi][:, None, :] - x[bi][None, :, :]) ** 2, axis=-1)
-        for j in range(m):
-            hits = np.nonzero(d2[j] < r2)[0][:nsample]
-            if len(hits):
-                out[bi, j, :] = hits[0]
-                out[bi, j, :len(hits)] = hits
+        # vectorized first-k + slot-fill (same result as the per-row
+        # `np.nonzero(...)[:nsample]` loop): misses get sentinel n,
+        # an ascending partial sort yields the first-k hit indices
+        idx = np.where(d2 < r2, np.arange(n)[None, :], n)
+        k = min(nsample, n)
+        part = np.partition(idx, k - 1, axis=1)[:, :k]
+        part.sort(axis=1)
+        first = part[:, :1]
+        filled = np.where(part == n, first, part)
+        filled = np.where(filled == n, 0, filled)  # no-hit rows -> 0
+        out[bi, :, :k] = filled
+        if k < nsample:  # fewer points than slots: fill rest
+            out[bi, :, k:] = filled[:, :1]
     return torch.from_numpy(out)
 
 

@@ -34,8 +34,10 @@ def _free_port() -> int:
 def _child_env(rank: int, nproc: int, port: int) -> dict:
     env = dict(os.environ)
     # each child is a plain 1-CPU-device jax process; the mesh is the
-    # 2-device union. Strip the parent's 8-virtual-device XLA_FLAGS.
-    env["XLA_FLAGS"] = ""
+    # 2-device union. Strip the parent's 8-virtual-device XLA_FLAGS,
+    # and raise the gloo rendezvous deadline (default ~30 s) above the
+    # first-compile skew two ranks can accumulate on a shared CPU.
+    env["XLA_FLAGS"] = "--xla_cpu_collective_timeout_seconds=900"
     env["JAX_PLATFORMS"] = "cpu"
     env["BTR_PLATFORM"] = "cpu"  # wins over sitecustomize re-pinning
     env["BTR_COORDINATOR"] = f"127.0.0.1:{port}"

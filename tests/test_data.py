@@ -131,3 +131,48 @@ class TestLoader:
         for _ in range(3):  # longer than one epoch (1 batch)
             batch = next(it)
             assert batch["point_clouds"].shape[0] == 2
+
+
+class TestRamCacheBudget:
+    def test_budget_caps_cache(self, scannet_dir):
+        cfg = scannet_md40_config()
+        ds = DetectionDataset(cfg, scannet_dir, split="all",
+                              num_points=NUM_POINTS,
+                              ram_cache_bytes=1)  # nothing fits
+        ds.get(0)
+        ds.get(1)
+        assert len(ds._cache) == 0
+        ds2 = DetectionDataset(cfg, scannet_dir, split="all",
+                               num_points=NUM_POINTS)  # default 8 GB
+        ds2.get(0)
+        ds2.get(1)
+        assert len(ds2._cache) == 2
+        assert ds2._cache_bytes > 0
+
+    def test_cache_off(self, scannet_dir):
+        ds = DetectionDataset(scannet_md40_config(), scannet_dir,
+                              split="all", num_points=NUM_POINTS,
+                              ram_cache=False)
+        ds.get(0)
+        assert ds._cache is None
+
+
+class TestShapeLibraryScenes:
+    def test_generate_scene_with_library(self):
+        from backtoreality_tpu.data.synthetic import generate_scene
+        from backtoreality_tpu.datagen.library import (
+            rich_procedural_library,
+        )
+
+        cfg = scannet_md40_config()
+        lib = rich_procedural_library(num_families=4)
+        rng = np.random.default_rng(0)
+        verts, ins, sem, bbox = generate_scene(
+            cfg, rng, num_objects=5, shape_library=lib)
+        assert len(bbox) == 5
+        # every labeled object's points stay inside its (axis-aligned)
+        # box, modulo float slack
+        for i in range(5):
+            pts = verts[ins == i + 1, :3]
+            c, d = bbox[i, :3], bbox[i, 3:6]
+            assert (np.abs(pts - c) <= d / 2 + 1e-6).all()

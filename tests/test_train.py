@@ -186,3 +186,14 @@ class TestDATrainStep:
         assert int(state2.step) == 1
         assert np.isfinite(float(aux["loss"]))
         assert np.isfinite(float(aux["da_loss"]))
+
+
+def test_local_rows_tree_single_process():
+    from backtoreality_tpu.parallel import local_rows_tree
+
+    tree = {"a": jnp.arange(6).reshape(2, 3),
+            "b": {"c": jnp.ones((2, 2))}}
+    out = local_rows_tree(tree)
+    assert isinstance(out["a"], np.ndarray)
+    np.testing.assert_array_equal(out["a"], np.arange(6).reshape(2, 3))
+    np.testing.assert_array_equal(out["b"]["c"], np.ones((2, 2)))

@@ -89,6 +89,9 @@ def main(argv=None):
     parser.add_argument("--lr_decay_rates", default="0.1,0.1,0.1")
     parser.add_argument("--ap_iou_thresh", type=float, default=0.25)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from <log_dir>/checkpoint.tar "
+                        "(curve-level resume: data order reseeds)")
     args = parser.parse_args(argv)
 
     import torch
@@ -136,13 +139,23 @@ def main(argv=None):
     lr_decay_steps = [int(x) for x in args.lr_decay_steps.split(",")]
     lr_decay_rates = [float(x) for x in args.lr_decay_rates.split(",")]
 
+    log_dir = pathlib.Path(args.log_dir)
+    start_epoch = 0
+    if args.resume and (log_dir / "checkpoint.tar").exists():
+        ckpt = torch.load(log_dir / "checkpoint.tar",
+                          map_location="cpu", weights_only=False)
+        net.load_state_dict(ckpt["model_state_dict"])
+        optimizer.load_state_dict(ckpt["optimizer_state_dict"])
+        start_epoch = int(ckpt["epoch"]) + 1
+        print(f"resumed from epoch {ckpt['epoch']}", flush=True)
+
     # `train_Votenet_FSB.py:185-189`
     BN_MOMENTUM_INIT, BN_MOMENTUM_MAX = 0.5, 0.001
     bn_lbmd = lambda it: max(  # noqa: E731
         BN_MOMENTUM_INIT * args.bn_decay_rate
         ** (int(it / args.bn_decay_step)), BN_MOMENTUM_MAX)
     bnm_scheduler = putils.BNMomentumScheduler(net, bn_lambda=bn_lbmd,
-                                               last_epoch=-1)
+                                               last_epoch=start_epoch - 1)
 
     def get_current_lr(epoch):  # `train_Votenet_FSB.py:192-197`
         lr = args.learning_rate
@@ -158,22 +171,23 @@ def main(argv=None):
         "dataset_config": DC,
     }
 
-    log_dir = pathlib.Path(args.log_dir)
     log_dir.mkdir(parents=True, exist_ok=True)
-    history = open(log_dir / "history.jsonl", "w")
+    history = open(log_dir / "history.jsonl",
+                   "a" if start_epoch else "w")
 
-    # save the INIT weights (reference checkpoint format): importing
-    # them into our driver (--checkpoint_path, no --resume) starts both
-    # systems from the identical parameter point, so the loss curves
-    # compare loop dynamics instead of init schemes
-    torch.save({
-        "epoch": -1,
-        "model_state_dict": net.state_dict(),
-        "optimizer_state_dict": {},
-        "loss": float("nan"),
-    }, log_dir / "init_checkpoint.tar")
+    if not start_epoch:
+        # save the INIT weights (reference checkpoint format): importing
+        # them into our driver (--checkpoint_path, no --resume) starts
+        # both systems from the identical parameter point, so the loss
+        # curves compare loop dynamics instead of init schemes
+        torch.save({
+            "epoch": -1,
+            "model_state_dict": net.state_dict(),
+            "optimizer_state_dict": {},
+            "loss": float("nan"),
+        }, log_dir / "init_checkpoint.tar")
 
-    for epoch in range(args.max_epoch):
+    for epoch in range(start_epoch, args.max_epoch):
         # ---- train_one_epoch (`train_Votenet_FSB.py:211-244`) ----
         for g in optimizer.param_groups:
             g["lr"] = get_current_lr(epoch)

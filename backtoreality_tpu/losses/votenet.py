@@ -474,3 +474,126 @@ def get_loss_DA_jitter(end_points_S, end_points_T, epoch, config):
             + SOURCE_COEFFICIENT * jitter_loss_S) * 10.0
     aux["loss"] = loss
     return loss, aux
+
+
+def get_loss_DA_separate(end_points_S, end_points_T, config):
+    """Experimental DA variant (`loss_helper.py:806-907`; unused by the
+    four documented train paths). Differences vs `get_loss_DA`: both
+    domains are weighted EQUALLY (no 0.1 source coefficient), the
+    source keeps the full seed-vote loss (`compute_vote_loss`, not the
+    weak Chamfer), and domain alignment is the local per-proposal
+    L2-to-domain term only (coefficient 1.0, `:887-897`) — no global
+    focal discriminator."""
+    aux = {}
+    vote_loss_S = compute_vote_loss(end_points_S)
+    vote_loss_T = compute_weak_vote_loss(end_points_T)
+    vote_loss = vote_loss_S + vote_loss_T
+    aux.update(vote_loss_S=vote_loss_S, vote_loss_T=vote_loss_T)
+
+    (objectness_loss_S, objectness_label_S, objectness_mask_S,
+     assignment_S) = compute_objectness_loss(end_points_S)
+    (objectness_loss_T, objectness_label_T, _,
+     assignment_T) = compute_objectness_loss(end_points_T)
+    objectness_loss = objectness_loss_S + objectness_loss_T
+    aux.update(objectness_loss_S=objectness_loss_S,
+               objectness_loss_T=objectness_loss_T)
+
+    ep_S = dict(end_points_S, objectness_label=objectness_label_S,
+                object_assignment=assignment_S)
+    ep_T = dict(end_points_T, objectness_label=objectness_label_T,
+                object_assignment=assignment_T)
+
+    (center_loss_S, heading_cls_loss, heading_reg_loss, size_cls_loss_S,
+     size_reg_loss, sem_cls_loss_S) = compute_box_and_sem_cls_loss(
+         ep_S, config)
+    center_loss_T, size_cls_loss_T, sem_cls_loss_T = (
+        compute_center_and_sem_cls_loss(ep_T, config))
+    box_loss = (center_loss_S + 0.1 * heading_cls_loss + heading_reg_loss
+                + 0.1 * size_cls_loss_S + size_reg_loss
+                + center_loss_T + 0.1 * size_cls_loss_T)
+    sem_cls_loss = sem_cls_loss_S + sem_cls_loss_T
+    aux.update(center_loss_S=center_loss_S, center_loss_T=center_loss_T,
+               sem_cls_loss=sem_cls_loss, box_loss=box_loss)
+
+    # local alignment only (`:887-897`): source pushed to 0, target to 1,
+    # each proposal weighted by its positive-objectness softmax
+    w_S = jax.nn.softmax(end_points_S["objectness_scores"], -1)[..., 1:]
+    w_T = jax.nn.softmax(end_points_T["objectness_scores"], -1)[..., 1:]
+    da_loss = (jnp.mean(jnp.square(end_points_S["local_d_pred"]) * w_S)
+               + jnp.mean(jnp.square(1.0 - end_points_T["local_d_pred"])
+                          * w_T))
+    aux["da_loss"] = da_loss
+
+    loss = (vote_loss + 0.5 * objectness_loss + box_loss
+            + 0.1 * sem_cls_loss + da_loss) * 10.0
+    aux["loss"] = loss
+    pos_ratio, neg_ratio, obj_acc = _objectness_stats(
+        end_points_S, objectness_label_S, objectness_mask_S)
+    aux.update(pos_ratio=pos_ratio, neg_ratio=neg_ratio, obj_acc=obj_acc)
+    return loss, aux
+
+
+def get_loss_cam(end_points, config):
+    """Class-activation-map pretext loss (`loss_helper.py:910-943`;
+    unused experiment — the model that produced the `cam` tensor was
+    removed from the reference, only `Pointnet2Backbone_cam` and this
+    criterion survive): BCE between the globally-average-pooled per-class
+    activation map (B, num_proposal, num_class here, channels-last) and
+    the scene class-indicator vector."""
+    from backtoreality_tpu.losses.common import sigmoid_bce_with_logits
+
+    cam_gap = jnp.mean(end_points["cam"], axis=1)  # (B, num_class)
+    cloud_label = end_points["cloud_label"].astype(jnp.float32)
+    loss = jnp.mean(sigmoid_bce_with_logits(cam_gap, cloud_label))
+    return loss, {"loss": loss}
+
+
+def get_loss_DA_cam(end_points_S, end_points_T, config):
+    """CAM-augmented DA variant (`loss_helper.py:946-1039`; unused
+    experiment). Full supervision on the source (incl. the full seed
+    vote loss), scene-level BCE semantics on the target
+    (`compute_sem_cls_loss`, weighted 2x), and a three-term alignment:
+    local L2 + global focal (gamma=5) + vote-feature focal (gamma=3),
+    each at 0.5. Requires `vote_feature_d_pred` (B, 2) from a
+    vote-feature discriminator."""
+    aux = {}
+    vote_loss = compute_vote_loss(end_points_S)
+    aux["vote_loss"] = vote_loss
+
+    (objectness_loss, objectness_label_S, objectness_mask_S,
+     assignment_S) = compute_objectness_loss(end_points_S)
+    aux["objectness_loss"] = objectness_loss
+
+    ep_S = dict(end_points_S, objectness_label=objectness_label_S,
+                object_assignment=assignment_S)
+    (center_loss, heading_cls_loss, heading_reg_loss, size_cls_loss,
+     size_reg_loss, sem_cls_loss_S) = compute_box_and_sem_cls_loss(
+         ep_S, config)
+    box_loss = (center_loss + 0.1 * heading_cls_loss + heading_reg_loss
+                + 0.1 * size_cls_loss + size_reg_loss)
+    sem_cls_loss_T = compute_sem_cls_loss(end_points_T, config)
+    sem_cls_loss = sem_cls_loss_S + 2.0 * sem_cls_loss_T
+    aux.update(box_loss=box_loss, sem_cls_loss_T=sem_cls_loss_T)
+
+    def _dloss(ep, domain_value, flip_local):
+        global_d = ep["global_d_pred"]
+        vote_d = ep["vote_feature_d_pred"]
+        local_d = ep["local_d_pred"]
+        domain = jnp.full(global_d.shape[0], domain_value, jnp.int32)
+        w = jax.nn.softmax(ep["objectness_scores"], -1)[..., 1:]
+        local = 1.0 - local_d if flip_local else local_d
+        return (0.5 * jnp.mean(jnp.square(local) * w)
+                + 0.5 * softmax_focal_loss(global_d, domain, gamma=5)
+                + 0.5 * softmax_focal_loss(vote_d, domain, gamma=3))
+
+    da_loss = (_dloss(end_points_S, 0, False)
+               + _dloss(end_points_T, 1, True))
+    aux["da_loss"] = da_loss
+
+    loss = (vote_loss + 0.5 * objectness_loss + box_loss
+            + 0.1 * sem_cls_loss + da_loss) * 10.0
+    aux["loss"] = loss
+    pos_ratio, neg_ratio, obj_acc = _objectness_stats(
+        end_points_S, objectness_label_S, objectness_mask_S)
+    aux.update(pos_ratio=pos_ratio, neg_ratio=neg_ratio, obj_acc=obj_acc)
+    return loss, aux

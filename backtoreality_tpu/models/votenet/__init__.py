@@ -2,6 +2,7 @@
 
 from backtoreality_tpu.models.votenet.backbone import (
     Pointnet2Backbone,
+    Pointnet2BackboneCam,
     Pointnet2BackboneJitter,
 )
 from backtoreality_tpu.models.votenet.voting import VotingModule

@@ -87,6 +87,51 @@ class Pointnet2Backbone(nn.Module):
         return end_points
 
 
+class Pointnet2BackboneCam(nn.Module):
+    """SA-only backbone variant (`Pointnet2Backbone_cam`,
+    `backbone_module.py:265-367`; unused by the four train paths — the
+    class-activation-map experiment it fed was removed from the
+    reference, leaving only this backbone and `get_loss_cam`): the same
+    4 SA layers but sa4 keeps 256 points and there are NO FP layers;
+    end_points carries sa1..sa4 xyz/features (sa1 also inds)."""
+
+    input_feature_dim: int = 0
+    query_mode: str = "stratified"
+    fps_candidates: int | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        kw = dict(use_xyz=True, normalize_xyz=True,
+                  query_mode=self.query_mode, dtype=self.dtype)
+        self.sa1 = SAModuleVotes(
+            npoint=2048, radius=0.2, nsample=64, mlp=[64, 64, 128],
+            fps_candidates=self.fps_candidates, **kw)
+        self.sa2 = SAModuleVotes(
+            npoint=1024, radius=0.4, nsample=32, mlp=[128, 128, 256], **kw)
+        self.sa3 = SAModuleVotes(
+            npoint=512, radius=0.8, nsample=16, mlp=[128, 128, 256], **kw)
+        self.sa4 = SAModuleVotes(
+            npoint=256, radius=1.2, nsample=16, mlp=[128, 128, 256], **kw)
+
+    def __call__(self, pointcloud, end_points=None, *, train: bool,
+                 bn_momentum=0.1):
+        if end_points is None:
+            end_points = {}
+        xyz = pointcloud[..., 0:3]
+        features = (
+            pointcloud[..., 3:] if pointcloud.shape[-1] > 3 else None
+        )
+        for i, sa in enumerate((self.sa1, self.sa2, self.sa3, self.sa4),
+                               start=1):
+            xyz, features, inds = sa(
+                xyz, features, train=train, bn_momentum=bn_momentum)
+            if i <= 2:
+                end_points[f"sa{i}_inds"] = inds
+            end_points[f"sa{i}_xyz"] = xyz
+            end_points[f"sa{i}_features"] = features
+        return end_points
+
+
 class Pointnet2BackboneJitter(nn.Module):
     """Backbone + center-jitter head (`Pointnet2Backbone_jitter`,
     `backbone_module.py:136-262`): groups sa2 features around given GT

@@ -5,7 +5,10 @@ from backtoreality_tpu.nn.mlp import SharedMLP, PointwiseMLP
 from backtoreality_tpu.nn.sa_fp import (
     SAModuleVotes,
     SAModuleCenters,
+    SAModuleOffset,
+    SAModuleVotesRlt,
     SAModuleMSG,
+    LFPModuleMSG,
     FPModule,
     group_all,
 )
@@ -17,5 +20,9 @@ __all__ = [
     "PointwiseMLP",
     "SAModuleVotes",
     "SAModuleCenters",
+    "SAModuleOffset",
+    "SAModuleVotesRlt",
+    "SAModuleMSG",
+    "LFPModuleMSG",
     "FPModule",
 ]

@@ -215,6 +215,112 @@ class SAModuleMSG(nn.Module):
         return new_xyz, jnp.concatenate(outs, axis=-1), inds
 
 
+class SAModuleVotesRlt(nn.Module, _GroupMixin):
+    """Relative-feature set abstraction (GF
+    `pointnet2_modules.py:274-383`, dead in the reference: its grouper
+    `QueryAndGroupRlt` was never committed). The surviving channel
+    arithmetic (`mlp_spec[0] = 3 + 2*mlp_spec[0]`, :316-318) pins the
+    intended grouping output to [local_xyz(3), neighbour_feats(C),
+    neighbour_feats - center_feats(C)] — each slot carries its feature
+    AND its feature relative to the sampled center's own feature; this
+    implementation realizes that contract."""
+
+    npoint: int
+    radius: float
+    nsample: int
+    mlp: tp.Sequence[int]
+    use_xyz: bool = True
+    normalize_xyz: bool = False
+    pooling: str = "max"
+    sigma: float | None = None
+    query_mode: str = "stratified"
+    fps_candidates: int | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, features, inds=None, *, train: bool,
+                 bn_momentum=0.1):
+        """xyz (B,N,3); features (B,N,C); inds optional (B,npoint).
+        Returns (new_xyz, new_features (B,npoint,mlp[-1]), inds)."""
+        if inds is None:
+            inds = ops.furthest_point_sample(
+                xyz, self.npoint, candidates=self.fps_candidates)
+        new_xyz = ops.gather_points(xyz, inds)
+        grouped, grouped_xyz = self._group(xyz, new_xyz, features)
+        # _group returns [local_xyz?, feats]; peel the feature block and
+        # append the center-relative difference
+        feats = grouped[..., 3:] if self.use_xyz else grouped
+        center_feats = ops.gather_points(features, inds)  # (B,npoint,C)
+        rel = feats - center_feats[:, :, None, :]
+        parts = ([grouped_xyz, feats, rel] if self.use_xyz
+                 else [feats, rel])
+        grouped = jnp.concatenate(parts, -1)
+        new_features = SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(
+            grouped, train=train, bn_momentum=bn_momentum
+        )
+        return new_xyz, self._pool(new_features, grouped_xyz), inds
+
+
+# `PointnetSAModuleOffset` (GF `pointnet2_modules.py:481-578`, unused by
+# the four train paths) is set abstraction grouped at *caller-supplied*
+# centers with max/avg/rbf pooling and no FPS — exactly SAModuleCenters'
+# contract, so it is the same module here.
+SAModuleOffset = SAModuleCenters
+
+
+class LFPModuleMSG(nn.Module):
+    """Learnable multi-scale feature propagation
+    (`PointnetLFPModuleMSG`, Votenet `pointnet2_modules.py:517-595`,
+    unused by the four train paths): for each (radius, nsample, mlp)
+    scale, ball-query-group `features1`@`xyz1` around the `xyz2`
+    positions, MLP + max-pool, concat the `features2` skip, then a
+    post-MLP that is SHARED across scales; scale outputs concatenate
+    on channels. (N.B. the reference docstring says "propagate to
+    xyz1" but the code propagates onto xyz2 — we match the code.)"""
+
+    radii: tp.Sequence[float]
+    nsamples: tp.Sequence[int]
+    mlps: tp.Sequence[tp.Sequence[int]]
+    post_mlp: tp.Sequence[int]
+    use_xyz: bool = True
+    query_mode: str = "stratified"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz2, xyz1, features2, features1, *, train: bool,
+                 bn_momentum=0.1):
+        """xyz2 (B,N2,3) targets; xyz1 (B,N1,3) sources; features2
+        (B,N2,C2) skip or None; features1 (B,N1,C1).
+        Returns (B, N2, len(radii)*post_mlp[-1])."""
+        assert len(self.radii) == len(self.nsamples) == len(self.mlps)
+        post = SharedMLP(self.post_mlp, dtype=self.dtype,
+                         name="post_mlp")
+        outs = []
+        for i, (radius, nsample, mlp) in enumerate(
+                zip(self.radii, self.nsamples, self.mlps)):
+            if self.query_mode == "exact":
+                idx = ops.ball_query(xyz1, xyz2, radius, nsample)
+                group = lambda p: ops.group_points(p, idx)
+            else:
+                idx, hit = ops.ball_query_stratified(
+                    xyz1, xyz2, radius, nsample, return_hit=True)
+                group = (lambda p: ops.group_points_stratified(
+                    p, idx, hit))
+            both = group(jnp.concatenate([xyz1, features1], -1))
+            grouped_xyz = both[..., :3] - xyz2[:, :, None, :]
+            gf = both[..., 3:]
+            grouped = (jnp.concatenate([grouped_xyz, gf], -1)
+                       if self.use_xyz else gf)
+            feat = SharedMLP(mlp, dtype=self.dtype, name=f"mlp{i}")(
+                grouped, train=train, bn_momentum=bn_momentum)
+            feat = jnp.max(feat, axis=2)  # (B, N2, mlp[-1])
+            if features2 is not None:
+                feat = jnp.concatenate([feat, features2], -1)
+            outs.append(post(feat[:, :, None, :], train=train,
+                             bn_momentum=bn_momentum)[:, :, 0, :])
+        return jnp.concatenate(outs, axis=-1)
+
+
 class FPModule(nn.Module):
     """Feature propagation (`PointnetFPModule`,
     `pointnet2_modules.py:454-514`): 3-NN inverse-distance interpolation

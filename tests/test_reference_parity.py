@@ -171,3 +171,77 @@ def test_nn_distance_parity(ref_losses):
     np.testing.assert_allclose(np.asarray(jd1), rd1.numpy(), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(jd2), rd2.numpy(), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(ji1), ri1.numpy())
+
+
+def test_get_loss_da_separate_parity(ref_losses):
+    """`loss_helper.py:806-907` (dead experiment variant) vs ours."""
+    from backtoreality_tpu.data import scannet_md40_config
+    from backtoreality_tpu.losses import votenet as jl
+
+    cfg = scannet_md40_config()
+    ep_S = make_end_points(20)
+    ep_T = make_end_points(21)
+    rng = np.random.default_rng(22)
+    for ep in (ep_S, ep_T):
+        ep["global_d_pred"] = rng.standard_normal((2, 2)).astype(
+            np.float32)
+        ep["local_d_pred"] = rng.random((2, 8, 1)).astype(np.float32)
+
+    t_S, t_T = _to_torch(ep_S), _to_torch(ep_T)
+    t_S["local_d_pred"] = t_S["local_d_pred"].permute(0, 2, 1)
+    t_T["local_d_pred"] = t_T["local_d_pred"].permute(0, 2, 1)
+    ref_loss, ref_S, _ = ref_losses.get_loss_DA_separate(
+        t_S, t_T, _Config(cfg))
+    jax_loss, aux = jl.get_loss_DA_separate(
+        _to_jax(ep_S), _to_jax(ep_T), cfg)
+    assert float(jax_loss) == pytest.approx(float(ref_loss), rel=3e-4)
+    assert float(aux["obj_acc"]) == pytest.approx(
+        float(ref_S["obj_acc"]), rel=2e-3, abs=1e-5)
+
+
+def test_get_loss_cam_parity(ref_losses):
+    """`loss_helper.py:910-943` (dead CAM pretext loss) vs ours."""
+    from backtoreality_tpu.data import scannet_md40_config
+    from backtoreality_tpu.losses import votenet as jl
+
+    cfg = scannet_md40_config()
+    rng = np.random.default_rng(23)
+    cam = rng.standard_normal((2, 8, cfg.num_class)).astype(np.float32)
+    cloud_label = (rng.random((2, cfg.num_class)) > 0.5).astype(
+        np.float32)
+
+    import torch
+
+    # reference layout (B, num_class, K); ours channels-last (B, K, C)
+    t_ep = {"cam": torch.from_numpy(cam).permute(0, 2, 1),
+            "cloud_label": torch.from_numpy(cloud_label)}
+    ref_loss, _ = ref_losses.get_loss_cam(t_ep, _Config(cfg))
+    jax_loss, _ = jl.get_loss_cam(
+        {"cam": cam, "cloud_label": cloud_label}, cfg)
+    assert float(jax_loss) == pytest.approx(float(ref_loss), rel=1e-5)
+
+
+def test_get_loss_da_cam_parity(ref_losses):
+    """`loss_helper.py:946-1039` (dead CAM-DA variant) vs ours."""
+    from backtoreality_tpu.data import scannet_md40_config
+    from backtoreality_tpu.losses import votenet as jl
+
+    cfg = scannet_md40_config()
+    ep_S = make_end_points(24)
+    ep_T = make_end_points(25)
+    rng = np.random.default_rng(26)
+    for ep in (ep_S, ep_T):
+        ep["global_d_pred"] = rng.standard_normal((2, 2)).astype(
+            np.float32)
+        ep["vote_feature_d_pred"] = rng.standard_normal((2, 2)).astype(
+            np.float32)
+        ep["local_d_pred"] = rng.random((2, 8, 1)).astype(np.float32)
+        ep["cloud_label"] = (rng.random((2, cfg.num_class)) > 0.5
+                             ).astype(np.float32)
+
+    t_S, t_T = _to_torch(ep_S), _to_torch(ep_T)
+    t_S["local_d_pred"] = t_S["local_d_pred"].permute(0, 2, 1)
+    t_T["local_d_pred"] = t_T["local_d_pred"].permute(0, 2, 1)
+    ref_loss, _, _ = ref_losses.get_loss_DA_cam(t_S, t_T, _Config(cfg))
+    jax_loss, _ = jl.get_loss_DA_cam(_to_jax(ep_S), _to_jax(ep_T), cfg)
+    assert float(jax_loss) == pytest.approx(float(ref_loss), rel=3e-4)

@@ -1,0 +1,82 @@
+"""Matched-epoch comparison of a reference-loop run vs our driver.
+
+Reads the torch reference loop's `history.jsonl` (tools/ref_loop.py,
+one row per epoch: {"epoch", "loss", ...} plus {"mAP", "AR",
+"eval_loss"} on eval epochs) and our driver's `metrics.jsonl`
+(train/observability.ScalarHistory: per-epoch rows keyed "step" plus
+{"kind": "eval"} rows), and prints the matched-epoch train-loss and
+mAP/AR table that the system-parity evidence section is built from
+(reference loop semantics: `train_Votenet_FSB.py:211-292`).
+
+Usage:
+  python -m backtoreality_tpu.tools.parity_report \
+      --ref_dir /tmp/parity_ref --ours_dir /tmp/parity_ours [--json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+
+
+def _load_jsonl(path):
+    return [json.loads(line) for line in path.read_text().splitlines()
+            if line.strip()]
+
+
+def build_report(ref_dir: str, ours_dir: str) -> dict:
+    ref = _load_jsonl(pathlib.Path(ref_dir) / "history.jsonl")
+    ours = _load_jsonl(pathlib.Path(ours_dir) / "metrics.jsonl")
+
+    ref_loss = {r["epoch"]: r["loss"] for r in ref if "loss" in r}
+    ref_eval = {r["epoch"]: (r["mAP"], r["AR"]) for r in ref
+                if "mAP" in r}
+    ours_loss = {r["step"]: r["loss"] for r in ours
+                 if r.get("kind") is None and "loss" in r}
+    ours_eval = {r["step"]: (r["mAP"], r["AR"]) for r in ours
+                 if r.get("kind") == "eval"}
+
+    epochs = sorted(set(ref_loss) & set(ours_loss))
+    rows = [{"epoch": e, "ours_loss": ours_loss[e],
+             "ref_loss": ref_loss[e]} for e in epochs]
+    eval_rows = [{"epoch": e,
+                  "ours_mAP": ours_eval[e][0], "ref_mAP": ref_eval[e][0],
+                  "ours_AR": ours_eval[e][1], "ref_AR": ref_eval[e][1]}
+                 for e in sorted(set(ref_eval) & set(ours_eval))]
+    return {"loss": rows, "eval": eval_rows}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ref_dir", required=True)
+    parser.add_argument("--ours_dir", required=True)
+    parser.add_argument("--every", type=int, default=5,
+                        help="print every Nth epoch's loss row")
+    parser.add_argument("--json", action="store_true")
+    args = parser.parse_args(argv)
+
+    report = build_report(args.ref_dir, args.ours_dir)
+    if args.json:
+        print(json.dumps(report))
+        return report
+
+    print(f"{'epoch':>6} {'ours loss':>10} {'ref loss':>10} {'ratio':>7}")
+    for row in report["loss"]:
+        if row["epoch"] % args.every and row != report["loss"][-1]:
+            continue
+        ratio = row["ours_loss"] / row["ref_loss"]
+        print(f"{row['epoch']:>6} {row['ours_loss']:>10.3f} "
+              f"{row['ref_loss']:>10.3f} {ratio:>7.3f}")
+    if report["eval"]:
+        print(f"\n{'epoch':>6} {'ours mAP':>9} {'ref mAP':>9} "
+              f"{'ours AR':>9} {'ref AR':>9}")
+        for row in report["eval"]:
+            print(f"{row['epoch']:>6} {row['ours_mAP']:>9.4f} "
+                  f"{row['ref_mAP']:>9.4f} {row['ours_AR']:>9.4f} "
+                  f"{row['ref_AR']:>9.4f}")
+    return report
+
+
+if __name__ == "__main__":
+    main()

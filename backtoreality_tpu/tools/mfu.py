@@ -1,13 +1,18 @@
-"""MXU roofline accounting: model FLOPs vs achieved vs chip peak.
+"""Roofline accounting: FLOPs AND HBM bytes vs achieved vs chip peak.
 
 Answers "is the next 2x available in the matmuls?" for the ~75% of
 the train step that is MXU work (the round-2 per-op trace accounted
-FPS/ball-query precisely but gave the MXU share no %-of-peak figure).
+FPS/ball-query precisely but gave the MXU share no %-of-peak figure),
+and "is the step bandwidth-bound?" via the memory roofline.
 
-FLOPs come from XLA's own cost analysis of the compiled train step
-(`compiled.cost_analysis()["flops"]`), so fusions/rematerialisation
-are included; achieved FLOP/s = flops / measured device-loop step
-time; peak is looked up by `jax.devices()[0].device_kind`.
+FLOPs and bytes come from XLA's own cost analysis of the compiled
+train step (`compiled.cost_analysis()` keys "flops" and
+"bytes accessed"), so fusions/rematerialisation are included;
+achieved rates = counts / measured device-loop step time; peaks are
+looked up by `jax.devices()[0].device_kind`. Caveat: "bytes accessed"
+is XLA's logical operand-traffic estimate — intra-fusion reuse is
+excluded but VMEM-resident re-reads are not modelled, so treat the
+bandwidth percentage as an upper-bound estimate of HBM pressure.
 
 Usage:  python -m backtoreality_tpu.tools.mfu [--model gf] [--iters 30]
 """
@@ -37,6 +42,20 @@ PEAKS_TFLOPS = {
     "cpu": (0.1, 0.05),  # placeholder so the tool runs hermetically
 }
 
+# HBM bandwidth GB/s per chip by device kind (public chip specs).
+PEAKS_HBM_GBS = {
+    "v2": 700.0,
+    "v3": 900.0,
+    "v4": 1228.0,
+    "v5 lite": 819.0,
+    "v5litepod": 819.0,
+    "v5e": 819.0,
+    "v5p": 2765.0,
+    "v6 lite": 1640.0,
+    "v6e": 1640.0,
+    "cpu": 50.0,  # placeholder so the tool runs hermetically
+}
+
 
 def _peaks(kind: str):
     k = kind.lower()
@@ -44,6 +63,14 @@ def _peaks(kind: str):
         if sub in k:
             return peaks
     return (None, None)
+
+
+def _hbm_peak(kind: str):
+    k = kind.lower()
+    for sub, peak in PEAKS_HBM_GBS.items():
+        if sub in k:
+            return peak
+    return None
 
 
 def measure(model_name: str, iters: int = 30):
@@ -114,6 +141,7 @@ def measure(model_name: str, iters: int = 30):
     if isinstance(ca, list):  # older jax returns [dict]
         ca = ca[0]
     flops = float(ca.get("flops", float("nan")))
+    bytes_accessed = float(ca.get("bytes accessed", float("nan")))
 
     # warmup then iteration-slope timing ending in a value fetch
     state, aux = step(state, dev_batch, rng, *hyper)
@@ -126,7 +154,9 @@ def measure(model_name: str, iters: int = 30):
 
     kind = jax.devices()[0].device_kind
     peak_bf16, peak_f32 = _peaks(kind)
+    hbm_peak = _hbm_peak(kind)
     achieved = flops / dt / 1e12
+    achieved_gbs = bytes_accessed / dt / 1e9
     out = {
         "model": model_name,
         "device_kind": kind,
@@ -135,10 +165,14 @@ def measure(model_name: str, iters: int = 30):
         "step_ms": round(dt * 1e3, 2),
         "xla_flops_per_step": flops,
         "achieved_tflops": round(achieved, 2),
+        "xla_bytes_per_step": bytes_accessed,
+        "achieved_gbs": round(achieved_gbs, 1),
     }
     if peak_f32:
         out["pct_of_f32_peak"] = round(100 * achieved / peak_f32, 1)
         out["pct_of_bf16_peak"] = round(100 * achieved / peak_bf16, 1)
+    if hbm_peak:
+        out["pct_of_hbm_peak"] = round(100 * achieved_gbs / hbm_peak, 1)
     print(json.dumps(out))
     return out
 

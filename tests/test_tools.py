@@ -1,0 +1,53 @@
+"""Tests for the measurement/reporting tools (tools/mfu.py peak
+lookups, tools/parity_report.py matched-epoch joining)."""
+
+import json
+
+from backtoreality_tpu.tools import mfu
+from backtoreality_tpu.tools import parity_report
+
+
+def test_mfu_peak_lookup():
+    bf16, f32 = mfu._peaks("TPU v5 lite")
+    assert (bf16, f32) == (197.0, 98.5)
+    assert mfu._hbm_peak("TPU v5 lite") == 819.0
+    assert mfu._peaks("TPU v4") == (275.0, 137.5)
+    assert mfu._hbm_peak("unknown-kind") is None
+    assert mfu._peaks("unknown-kind") == (None, None)
+
+
+def test_parity_report_matched_epochs(tmp_path):
+    ref_dir = tmp_path / "ref"
+    ours_dir = tmp_path / "ours"
+    ref_dir.mkdir()
+    ours_dir.mkdir()
+    ref_rows = [
+        {"epoch": 0, "loss": 30.0, "lr": 1e-3},
+        {"epoch": 1, "loss": 20.0, "lr": 1e-3,
+         "mAP": 0.10, "AR": 0.30, "eval_loss": 21.0},
+        {"epoch": 2, "loss": 15.0, "lr": 1e-3},
+    ]
+    ours_rows = [
+        {"step": 0, "loss": 31.0, "lr": 1e-3},
+        {"step": 1, "loss": 19.0, "lr": 1e-3},
+        {"step": 1, "kind": "eval", "mAP": 0.12, "AR": 0.28},
+        # epoch 3 exists only on our side -> must not appear in the join
+        {"step": 3, "loss": 10.0, "lr": 1e-3},
+    ]
+    (ref_dir / "history.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in ref_rows))
+    (ours_dir / "metrics.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in ours_rows))
+
+    report = parity_report.build_report(str(ref_dir), str(ours_dir))
+    assert [r["epoch"] for r in report["loss"]] == [0, 1]
+    assert report["loss"][0] == {
+        "epoch": 0, "ours_loss": 31.0, "ref_loss": 30.0}
+    assert report["eval"] == [{
+        "epoch": 1, "ours_mAP": 0.12, "ref_mAP": 0.10,
+        "ours_AR": 0.28, "ref_AR": 0.30}]
+
+    # CLI path prints and returns the same report
+    out = parity_report.main([
+        "--ref_dir", str(ref_dir), "--ours_dir", str(ours_dir)])
+    assert out == report

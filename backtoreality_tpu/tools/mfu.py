@@ -73,7 +73,8 @@ def _hbm_peak(kind: str):
     return None
 
 
-def measure(model_name: str, iters: int = 30):
+def measure(model_name: str, iters: int = 30,
+            fps_candidates: int | None = 8192):
     import jax
     import jax.numpy as jnp
 
@@ -103,7 +104,7 @@ def measure(model_name: str, iters: int = 30):
 
         b, n = 8, 40000
         model = build_model(_flags(num_target=256,
-                                   fps_candidates=8192), cfg)
+                                   fps_candidates=fps_candidates), cfg)
         optimizer = common.make_optimizer("adam", lr0=1e-3)
         batch = _example_batch(cfg, b, n, rng_np)
         state = init_state(
@@ -121,6 +122,7 @@ def measure(model_name: str, iters: int = 30):
         flags.num_target = 256
         flags.num_decoder_layers = 6
         flags.dim_feedforward = 2048
+        flags.fps_candidates = fps_candidates
         model = gf.build_model(flags, cfg)
         optimizer = common.make_gf_optimizer(4e-3, 4e-4, 5e-4, 0.1)
         batch = _gf_example_batch(cfg, b, n, rng_np)
@@ -182,11 +184,14 @@ def main(argv=None):
     parser.add_argument("--model", default="votenet",
                         choices=["votenet", "gf", "both"])
     parser.add_argument("--iters", type=int, default=30)
+    parser.add_argument("--fps_candidates", type=int, default=8192,
+                        help="subset-FPS candidate count; 0 = exact "
+                        "full-cloud FPS")
     args = parser.parse_args(argv)
     models = (["votenet", "gf"] if args.model == "both"
               else [args.model])
     for m in models:
-        measure(m, args.iters)
+        measure(m, args.iters, args.fps_candidates or None)
 
 
 if __name__ == "__main__":

@@ -11,6 +11,7 @@ from backtoreality_tpu.models.groupfree.transformer import (
 )
 from backtoreality_tpu.models.groupfree.detector import GroupFreeDetector
 from backtoreality_tpu.models.groupfree.da import (
+    CALayer,
     GroupFreeDetectorDA,
     GroupFreeDetectorDAJitter,
 )

@@ -20,6 +20,38 @@ from backtoreality_tpu.nn.mlp import (
 from backtoreality_tpu.models.groupfree.detector import GroupFreeDetector
 from backtoreality_tpu.models.votenet.da import _ConvBNStack, grad_reverse
 from backtoreality_tpu.nn import SAModuleCenters
+from backtoreality_tpu.nn.norm import BatchNorm
+
+
+class CALayer(nn.Module):
+    """Channel-attention (SE) block, dead in the reference: defined at
+    `detection/GroupFree3D/models/detector_DA.py:35-53` but never
+    instantiated. Channels-last rebuild: the 1x1 squeeze/excite Conv2d
+    pair becomes Dense over the channel axis; `y = x*sig(...) + x`,
+    then the reference flattens and batch-norms the (N*C,) feature
+    vector (`nn.BatchNorm1d(288*64)` — it was written for
+    (B, 288, 64)-shaped inputs).
+    """
+
+    channel: int
+    reduction: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool, bn_momentum=0.1):
+        squeezed = self.channel // self.reduction
+        y = nn.Dense(squeezed, dtype=self.dtype,
+                     kernel_init=torch_default_kernel_init,
+                     bias_init=torch_default_bias_init(self.channel))(x)
+        y = nn.relu(y)
+        y = nn.Dense(self.channel, dtype=self.dtype,
+                     kernel_init=torch_default_kernel_init,
+                     bias_init=torch_default_bias_init(squeezed))(y)
+        y = x * jax.nn.sigmoid(y) + x
+        y = y.reshape(y.shape[0], -1)
+        y = BatchNorm(y.shape[-1], dtype=self.dtype)(
+            y, train=train, momentum=bn_momentum)
+        return y
 
 
 class _GFDAHeads(nn.Module):

@@ -83,6 +83,40 @@ class TestExtraModules:
         np.testing.assert_allclose(np.asarray(nx),
                                    np.asarray(xyz[:, :16]), rtol=1e-6)
 
+    def test_ca_layer(self):
+        """`CALayer` (`detection/GroupFree3D/models/detector_DA.py:
+        35-53`, never instantiated): squeeze/excite over channels,
+        residual `x*sig(.)+x`, flatten, BatchNorm over the N*C vector.
+        Checked against a numpy oracle of that composition."""
+        from backtoreality_tpu.models.groupfree import CALayer
+
+        rng = np.random.default_rng(3)
+        b, n, c = 4, 64, 32
+        x = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+        mod = CALayer(channel=c, reduction=8)
+        vars_ = mod.init(jax.random.key(0), x, train=False)
+        out, mutated = mod.apply(vars_, x, train=True,
+                                 mutable=["batch_stats"])
+        assert out.shape == (b, n * c)
+
+        p = jax.tree.map(np.asarray, vars_["params"])
+        xe = np.asarray(x)
+        h = np.maximum(xe @ p["Dense_0"]["kernel"]
+                       + p["Dense_0"]["bias"], 0.0)
+        gate = 1.0 / (1.0 + np.exp(-(h @ p["Dense_1"]["kernel"]
+                                     + p["Dense_1"]["bias"])))
+        y = (xe * gate + xe).reshape(b, -1)
+        mean, var = y.mean(0), y.var(0)
+        expect = (y - mean) / np.sqrt(var + 1e-5)
+        np.testing.assert_allclose(np.asarray(out), expect,
+                                   rtol=2e-3, atol=2e-5)
+        # squeeze width honors the reduction factor
+        assert p["Dense_0"]["kernel"].shape == (c, c // 8)
+        # running stats updated with torch momentum semantics
+        rm = np.asarray(mutated["batch_stats"]["BatchNorm_0"]["mean"])
+        np.testing.assert_allclose(rm, 0.1 * y.mean(0), rtol=2e-3,
+                                   atol=2e-5)
+
     def test_backbone_cam(self):
         from backtoreality_tpu.models.votenet import Pointnet2BackboneCam
 

@@ -354,6 +354,9 @@ def main(argv=None):
                                        args.out, nhead=args.nhead)
     print(f"imported {nleaves} parameter tensors (epoch {epoch}) "
           f"-> {args.out}")
+    print("note: reference-TRAINED checkpoints expect the CUDA "
+          "first-k grouping; evaluate/fine-tune with "
+          "--query_mode exact (RESULTS.md, system-level parity).")
 
 
 if __name__ == "__main__":

@@ -22,21 +22,36 @@ class Pointnet2Backbone(nn.Module):
     query_mode: str = "stratified"
     fps_candidates: int | None = None  # subset-FPS at SA1 (speed knob)
     dtype: jnp.dtype = jnp.float32
+    # selective precision: run the LAST `f32_tail` stages (counting
+    # back from fp2: fp2, fp1, sa4, ...) in f32 regardless of `dtype`.
+    # The HBM traffic that makes bf16 worth having lives in sa1/sa2
+    # (20-40k points); the tail stages run on <=512 points, so an f32
+    # tail keeps ~all of bf16's bandwidth win while feeding the
+    # classification heads full-precision seed features.
+    f32_tail: int = 0
+
+    def _stage_dtype(self, idx):
+        """idx: 0..5 over (sa1..sa4, fp1, fp2)."""
+        return jnp.float32 if (6 - idx) <= self.f32_tail else self.dtype
 
     def setup(self):
         kw = dict(use_xyz=True, normalize_xyz=True,
-                  query_mode=self.query_mode, dtype=self.dtype)
+                  query_mode=self.query_mode)
         self.sa1 = SAModuleVotes(
             npoint=2048, radius=0.2, nsample=64, mlp=[64, 64, 128],
-            fps_candidates=self.fps_candidates, **kw)
+            fps_candidates=self.fps_candidates,
+            dtype=self._stage_dtype(0), **kw)
         self.sa2 = SAModuleVotes(
-            npoint=1024, radius=0.4, nsample=32, mlp=[128, 128, 256], **kw)
+            npoint=1024, radius=0.4, nsample=32, mlp=[128, 128, 256],
+            dtype=self._stage_dtype(1), **kw)
         self.sa3 = SAModuleVotes(
-            npoint=512, radius=0.8, nsample=16, mlp=[128, 128, 256], **kw)
+            npoint=512, radius=0.8, nsample=16, mlp=[128, 128, 256],
+            dtype=self._stage_dtype(2), **kw)
         self.sa4 = SAModuleVotes(
-            npoint=256, radius=1.2, nsample=16, mlp=[128, 128, 256], **kw)
-        self.fp1 = FPModule(mlp=[256, 256], dtype=self.dtype)
-        self.fp2 = FPModule(mlp=[256, 256], dtype=self.dtype)
+            npoint=256, radius=1.2, nsample=16, mlp=[128, 128, 256],
+            dtype=self._stage_dtype(3), **kw)
+        self.fp1 = FPModule(mlp=[256, 256], dtype=self._stage_dtype(4))
+        self.fp2 = FPModule(mlp=[256, 256], dtype=self._stage_dtype(5))
 
     def __call__(self, pointcloud, end_points=None, *, train: bool,
                  bn_momentum=0.1):
@@ -143,12 +158,14 @@ class Pointnet2BackboneJitter(nn.Module):
     query_mode: str = "stratified"
     fps_candidates: int | None = None
     dtype: jnp.dtype = jnp.float32
+    f32_tail: int = 0
 
     def setup(self):
         self.backbone = Pointnet2Backbone(
             input_feature_dim=self.input_feature_dim,
             query_mode=self.query_mode,
-            fps_candidates=self.fps_candidates, dtype=self.dtype)
+            fps_candidates=self.fps_candidates, dtype=self.dtype,
+            f32_tail=self.f32_tail)
         # 64 centers max, r=0.8, mlp [256,128] (`backbone_module.py:180-186`)
         self.ctjt = SAModuleCenters(
             radius=0.8, nsample=16, mlp=[256, 128], use_xyz=True,

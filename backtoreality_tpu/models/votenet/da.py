@@ -112,12 +112,14 @@ class VoteNetDA(nn.Module):
     fps_candidates: int | None = None
     dtype: jnp.dtype = jnp.float32
     head_dtype: jnp.dtype = jnp.float32  # see votenet.VoteNet.head_dtype
+    f32_tail: int = 0  # see Pointnet2Backbone.f32_tail
 
     def setup(self):
         self.backbone_net = Pointnet2Backbone(
             input_feature_dim=self.input_feature_dim,
             query_mode=self.query_mode,
-            fps_candidates=self.fps_candidates, dtype=self.dtype)
+            fps_candidates=self.fps_candidates, dtype=self.dtype,
+            f32_tail=self.f32_tail)
         self.vgen = VotingModule(self.vote_factor, 256,
                                  dtype=self.head_dtype)
         self.pnet = ProposalModule(
@@ -174,12 +176,14 @@ class VoteNetDAJitter2(nn.Module):
     fps_candidates: int | None = None
     dtype: jnp.dtype = jnp.float32
     head_dtype: jnp.dtype = jnp.float32  # see votenet.VoteNet.head_dtype
+    f32_tail: int = 0  # see Pointnet2Backbone.f32_tail
 
     def setup(self):
         self.backbone_net = Pointnet2Backbone(
             input_feature_dim=self.input_feature_dim,
             query_mode=self.query_mode,
-            fps_candidates=self.fps_candidates, dtype=self.dtype)
+            fps_candidates=self.fps_candidates, dtype=self.dtype,
+            f32_tail=self.f32_tail)
         self.vgen = VotingModule(self.vote_factor, 256,
                                  dtype=self.head_dtype)
         self.pnet = ProposalModule(
@@ -258,13 +262,15 @@ class VoteNetDAJitter(nn.Module):
     fps_candidates: int | None = None
     dtype: jnp.dtype = jnp.float32
     head_dtype: jnp.dtype = jnp.float32  # see votenet.VoteNet.head_dtype
+    f32_tail: int = 0  # see Pointnet2Backbone.f32_tail
 
     def setup(self):
         self.backbone_net = Pointnet2BackboneJitter(
             num_class=self.num_class,
             input_feature_dim=self.input_feature_dim,
             query_mode=self.query_mode,
-            fps_candidates=self.fps_candidates, dtype=self.dtype)
+            fps_candidates=self.fps_candidates, dtype=self.dtype,
+            f32_tail=self.f32_tail)
         self.vgen = VotingModule(self.vote_factor, 256,
                                  dtype=self.head_dtype)
         self.pnet = ProposalModule(

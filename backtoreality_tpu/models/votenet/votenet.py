@@ -32,12 +32,16 @@ class VoteNet(nn.Module):
     # the voting + proposal MLPs in f32 costs <2% of the step FLOPs
     # (they run on 1024/256 points vs the backbone's 40k).
     head_dtype: jnp.dtype = jnp.float32
+    # selective precision: trailing backbone stages forced to f32 under
+    # bf16 compute (see Pointnet2Backbone.f32_tail)
+    f32_tail: int = 0
 
     def setup(self):
         self.backbone_net = Pointnet2Backbone(
             input_feature_dim=self.input_feature_dim,
             query_mode=self.query_mode,
-            fps_candidates=self.fps_candidates, dtype=self.dtype)
+            fps_candidates=self.fps_candidates, dtype=self.dtype,
+            f32_tail=self.f32_tail)
         self.vgen = VotingModule(self.vote_factor, 256,
                                  dtype=self.head_dtype)
         self.pnet = ProposalModule(

@@ -13,7 +13,8 @@ search are integer-valued and non-differentiable).
 from backtoreality_tpu.ops.fps import furthest_point_sample
 from backtoreality_tpu.ops.ball_query import ball_query, ball_query_stratified
 from backtoreality_tpu.ops.grouping import (gather_points, group_points,
-                                             group_points_stratified)
+                                             group_points_stratified,
+                                             sample_uniformly)
 from backtoreality_tpu.ops.interpolate import three_nn, three_interpolate
 from backtoreality_tpu.ops.chamfer import nn_distance, huber_loss
 
@@ -24,6 +25,7 @@ __all__ = [
     "gather_points",
     "group_points",
     "group_points_stratified",
+    "sample_uniformly",
     "three_nn",
     "three_interpolate",
     "nn_distance",

@@ -44,6 +44,45 @@ def group_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     return flat.reshape(b, m, s, c)
 
 
+def sample_uniformly(idx: jax.Array, key: jax.Array):
+    """Spread slot-fill duplicates uniformly over a region's found
+    neighbors (`QueryAndGroup(sample_uniformly=True)`,
+    `pointnet2_utils.py:336-345`; off by default and unused by every
+    reference train path).
+
+    The exact ball query fills unfound slots with a copy of the first
+    in-radius index, so the first neighbor carries all the duplicate
+    mass. The reference loops over regions, takes `torch.unique(idx)`,
+    and refills the missing slots with uniform draws from the uniques.
+    Batched TPU equivalent: found (distinct) neighbors occupy the slot
+    prefix [0, cnt), every later slot equals idx[..., 0]; replace each
+    fill slot with idx[..., j], j ~ U{0, .., cnt-1}. Slot ORDER differs
+    from the reference (fills are refreshed in place instead of being
+    concatenated after the uniques), but the sampled multiset
+    distribution is identical and every grouping consumer is
+    slot-permutation-invariant (max/avg/rbf pooling).
+
+    Args:
+      idx: (B, M, S) int32 from `ball_query` (first-k, slot-fill).
+      key: jax PRNG key.
+
+    Returns:
+      (idx_resampled, unique_cnt): (B, M, S) int32 and (B, M) int32
+      (the reference's `ret_unique_cnt` output).
+    """
+    s = idx.shape[-1]
+    slot = jnp.arange(s, dtype=jnp.int32)
+    # distinct neighbors = slot 0 plus any slot not equal to the fill
+    # value idx[..., 0]
+    valid = (slot == 0) | (idx != idx[..., :1])
+    cnt = jnp.sum(valid, axis=-1).astype(jnp.int32)  # (B, M)
+    u = jax.random.uniform(key, idx.shape)
+    j = jnp.minimum((u * cnt[..., None]).astype(jnp.int32),
+                    cnt[..., None] - 1)
+    resampled = jnp.take_along_axis(idx, j, axis=-1)
+    return jnp.where(valid, idx, resampled), cnt
+
+
 # ---------------------------------------------------------------------------
 # Gather-free grouping for stratified ball-query indices
 # ---------------------------------------------------------------------------

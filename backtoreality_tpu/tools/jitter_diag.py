@@ -29,9 +29,17 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt", default="/tmp/crbig_cr/train_BR_CenterRefine.tar")
-    ap.add_argument("--config", default="/tmp/crbig_cr/config.json")
-    ap.add_argument("--data_root", default="/tmp/brq/real")
+    ap.add_argument("--ckpt", required=True,
+                    help="CenterRefine checkpoint "
+                         "(<log_dir>/train_BR_CenterRefine.tar, or a "
+                         "reference torch CR checkpoint converted via "
+                         "tools/torch_import.py). Regenerate the study "
+                         "fixture with `parity_fixture --kind br`")
+    ap.add_argument("--config", required=True,
+                    help="the training run's <log_dir>/config.json")
+    ap.add_argument("--data_root", required=True,
+                    help="jittered-domain fixture root (the 'real' "
+                         "part of the br fixture)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 

@@ -25,6 +25,16 @@ def _load_jsonl(path):
             if line.strip()]
 
 
+# per-term loss components both systems log under the reference's key
+# names (our ScalarHistory mirrors `train_Votenet_FSB.py:233-243`;
+# ref_loop.py now records the same stat_dict per epoch)
+COMPONENTS = (
+    "vote_loss", "objectness_loss", "center_loss", "heading_cls_loss",
+    "heading_reg_loss", "size_cls_loss", "size_reg_loss",
+    "sem_cls_loss", "box_loss",
+)
+
+
 def build_report(ref_dir: str, ours_dir: str) -> dict:
     ref = _load_jsonl(pathlib.Path(ref_dir) / "history.jsonl")
     ours = _load_jsonl(pathlib.Path(ours_dir) / "metrics.jsonl")
@@ -32,7 +42,10 @@ def build_report(ref_dir: str, ours_dir: str) -> dict:
     ref_loss = {r["epoch"]: r["loss"] for r in ref if "loss" in r}
     ref_eval = {r["epoch"]: (r["mAP"], r["AR"]) for r in ref
                 if "mAP" in r}
+    ref_rows = {r["epoch"]: r for r in ref if "loss" in r}
     ours_loss = {r["step"]: r["loss"] for r in ours
+                 if r.get("kind") is None and "loss" in r}
+    ours_rows = {r["step"]: r for r in ours
                  if r.get("kind") is None and "loss" in r}
     ours_eval = {r["step"]: (r["mAP"], r["AR"]) for r in ours
                  if r.get("kind") == "eval"}
@@ -44,7 +57,17 @@ def build_report(ref_dir: str, ours_dir: str) -> dict:
                   "ours_mAP": ours_eval[e][0], "ref_mAP": ref_eval[e][0],
                   "ours_AR": ours_eval[e][1], "ref_AR": ref_eval[e][1]}
                  for e in sorted(set(ref_eval) & set(ours_eval))]
-    return {"loss": rows, "eval": eval_rows}
+    # per-component ours/ref ratios at matched epochs (only where the
+    # ref history carries components — older ref_loop logs total only)
+    comp_rows = []
+    for e in epochs:
+        rr, orow = ref_rows[e], ours_rows[e]
+        comps = {c: (orow[c], rr[c]) for c in COMPONENTS
+                 if c in rr and c in orow and rr[c]}
+        if comps:
+            comp_rows.append({"epoch": e, **{
+                c: round(o / r, 3) for c, (o, r) in comps.items()}})
+    return {"loss": rows, "eval": eval_rows, "components": comp_rows}
 
 
 def main(argv=None):
@@ -75,6 +98,16 @@ def main(argv=None):
             print(f"{row['epoch']:>6} {row['ours_mAP']:>9.4f} "
                   f"{row['ref_mAP']:>9.4f} {row['ours_AR']:>9.4f} "
                   f"{row['ref_AR']:>9.4f}")
+    if report["components"]:
+        comps = [c for c in COMPONENTS if c in report["components"][-1]]
+        print("\nours/ref per-component ratio:")
+        print(f"{'epoch':>6} " + " ".join(
+            f"{c.replace('_loss', ''):>11}" for c in comps))
+        for row in report["components"]:
+            if row["epoch"] % args.every and row != report["components"][-1]:
+                continue
+            print(f"{row['epoch']:>6} " + " ".join(
+                f"{row.get(c, float('nan')):>11.3f}" for c in comps))
     return report
 
 

@@ -40,6 +40,16 @@ def init_multihost():
             process_id=int(os.environ["BTR_PROCESS_ID"]))
     else:
         jax.distributed.initialize()
+    if jax.process_count() > 1:
+        # Establish the cross-process collective context NOW, while the
+        # ranks are still in lockstep. XLA's gloo key-value exchange has
+        # a fixed ~30 s deadline; deferring context creation to the
+        # first post-compile collective lets multi-minute first-compile
+        # skew between ranks blow that deadline (observed on shared-CPU
+        # hosts). A barrier here costs one trivial program.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("btr:init_multihost")
 
 
 def enable_compilation_cache(path: str | None = None):

@@ -37,6 +37,14 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", choices=["votenet", "groupfree"],
                         default="votenet")
+    parser.add_argument("--eval_seeds", type=int, default=1,
+                        help="repeat the eval under N different"
+                             " point-subsample seeds and report"
+                             " mean +/- sigma: on small val fixtures"
+                             " the 2500-pt subsample draw alone moves"
+                             " mAP@0.25 by ~+/-0.01-0.07 (RESULTS.md"
+                             " eval-noise study), so single-draw"
+                             " numbers overstate precision")
     if argv is None:
         import sys
 
@@ -103,23 +111,47 @@ def main(argv=None):
         remove_empty_box=False, use_3d_nms=True, nms_iou=0.25,
         use_old_type_nms=False, cls_nms=True, per_class_proposal=True,
         conf_thresh=conf_thresh, dataset_config=cfg)
-    calcs = {(p, t): APCalculator(t, cfg.class2type)
-             for p in eval_prefixes for t in thresholds}
-    for batch in loader:
-        pc = shard_batch({"point_clouds": batch["point_clouds"]},
-                         mesh)["point_clouds"]
-        outs = jax.device_get(forward(variables, pc))
-        gts = parse_groundtruths(batch, config_dict)
-        for prefix in eval_prefixes:
-            preds = parse_predictions(outs, config_dict, prefix)
-            for t in thresholds:
-                calcs[(prefix, t)].step(preds, gts)
+    base_seed = ds.seed
+    history = {(p, t): [] for p in eval_prefixes for t in thresholds}
+    for si in range(max(1, pre.eval_seeds)):
+        # a different dataset seed redraws every scan's point subsample
+        # (and nothing else: augment=False); the jitted forward and the
+        # RAM-cached raw scans are reused across passes
+        ds.seed = base_seed + si
+        calcs = {(p, t): APCalculator(t, cfg.class2type)
+                 for p in eval_prefixes for t in thresholds}
+        for batch in loader:
+            pc = shard_batch({"point_clouds": batch["point_clouds"]},
+                             mesh)["point_clouds"]
+            outs = jax.device_get(forward(variables, pc))
+            gts = parse_groundtruths(batch, config_dict)
+            for prefix in eval_prefixes:
+                preds = parse_predictions(outs, config_dict, prefix)
+                for t in thresholds:
+                    calcs[(prefix, t)].step(preds, gts)
+        for key, calc in calcs.items():
+            history[key].append(calc.compute_metrics())
 
-    for (prefix, t), calc in calcs.items():
-        metrics = calc.compute_metrics()
+    import numpy as np
+
+    for (prefix, t), runs in history.items():
+        metrics = runs[0]
         print(f"===== {prefix or 'votenet'} @ IoU {t} =====")
-        for key in sorted(metrics):
-            print(f"  {key}: {metrics[key]:.4f}")
+        if len(runs) == 1:
+            for key in sorted(metrics):
+                print(f"  {key}: {metrics[key]:.4f}")
+        else:
+            for key in ("mAP", "AR"):
+                vals = np.asarray([r[key] for r in runs])
+                draws = " ".join(f"{v:.4f}" for v in vals)
+                print(f"  {key}: {vals.mean():.4f} +/- "
+                      f"{vals.std(ddof=1):.4f}  (seeds: {draws})")
+            for key in sorted(runs[0]):
+                if key in ("mAP", "AR"):
+                    continue
+                vals = np.asarray([r[key] for r in runs])
+                print(f"  {key}: {vals.mean():.4f} +/- "
+                      f"{vals.std(ddof=1):.4f}")
 
 
 if __name__ == "__main__":

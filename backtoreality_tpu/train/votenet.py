@@ -95,6 +95,13 @@ def add_common_flags(parser: argparse.ArgumentParser):
                              " FPS at K=8192")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 model compute (f32 params/stats)")
+    parser.add_argument("--f32_tail", type=int, default=0,
+                        help="with --bf16: run the last N backbone"
+                             " stages (fp2, fp1, sa4, ...) in f32."
+                             " These stages carry <2%% of the HBM"
+                             " traffic but feed the classification"
+                             " heads, where bf16's quality deficit"
+                             " concentrates")
     parser.add_argument("--bn_recal_batches", type=int, default=None,
                         help="train-mode batches to refresh BN running"
                              " stats before each eval (default 20 with"
@@ -146,6 +153,7 @@ def build_model(flags, cfg, kind="plain"):
         fps_candidates=getattr(flags, "fps_candidates", None),
         dtype=jnp.bfloat16 if getattr(flags, "bf16", False)
         else jnp.float32,
+        f32_tail=getattr(flags, "f32_tail", 0),
     )
     if kind == "plain":
         return VoteNet(**kwargs)

@@ -131,3 +131,23 @@ def test_grad_reverse():
 
     g = jax.grad(lambda x: jnp.sum(grad_reverse(x) * 3.0))(jnp.ones(4))
     np.testing.assert_allclose(np.asarray(g), -3.0 * np.ones(4))
+
+
+def test_f32_tail_selective_precision(cfg, cloud):
+    """--bf16 --f32_tail: sa1..sa3 compute in bf16 while the tail
+    stages (sa4, fp1, fp2) and everything downstream stay f32, so the
+    classification heads see full-precision seed features."""
+    model = VoteNet(**_model_kwargs(cfg), dtype=jnp.bfloat16,
+                    f32_tail=3)
+    variables = model.init(jax.random.PRNGKey(0), cloud, train=False)
+    out = model.apply(variables, cloud, train=False)
+    # early stages emit bf16 features, tail stages f32
+    assert out["sa2_features"].dtype == jnp.bfloat16
+    assert out["sa3_features"].dtype == jnp.bfloat16
+    assert out["sa4_features"].dtype == jnp.float32
+    assert out["fp2_features"].dtype == jnp.float32
+    assert out["sem_cls_scores"].dtype == jnp.float32
+    assert np.isfinite(np.asarray(out["center"], np.float32)).all()
+    # params stay f32 regardless of compute dtype
+    leaves = jax.tree_util.tree_leaves(variables["params"])
+    assert all(l.dtype == jnp.float32 for l in leaves)

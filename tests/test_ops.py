@@ -316,3 +316,29 @@ class TestChamfer:
         np.testing.assert_allclose(
             np.asarray(jnp.sum(w, -1)), np.ones((2, 5)), rtol=1e-5
         )
+
+
+def test_sample_uniformly():
+    """sample_uniformly spreads fill duplicates uniformly over the
+    found neighbors (`pointnet2_utils.py:336-345` contract)."""
+    import jax
+
+    from backtoreality_tpu import ops
+
+    # region 0: 3 distinct neighbors (7, 2, 9) then fills of 7
+    # region 1: 1 neighbor (4) -> all slots stay 4
+    idx = jnp.asarray([[[7, 2, 9, 7, 7, 7], [4, 4, 4, 4, 4, 4]]],
+                      jnp.int32)
+    out, cnt = ops.sample_uniformly(idx, jax.random.PRNGKey(0))
+    assert cnt.tolist() == [[3, 1]]
+    # distinct prefix preserved in place
+    assert out[0, 0, :3].tolist() == [7, 2, 9]
+    assert out[0, 1].tolist() == [4] * 6
+    # fill slots draw only from the found neighbors
+    assert set(np.asarray(out[0, 0, 3:]).tolist()) <= {7, 2, 9}
+    # over many keys, every unique neighbor appears in fill slots
+    seen = set()
+    for k in range(20):
+        o, _ = ops.sample_uniformly(idx, jax.random.PRNGKey(k))
+        seen |= set(np.asarray(o[0, 0, 3:]).tolist())
+    assert seen == {7, 2, 9}

@@ -37,6 +37,12 @@ def main(argv=None):
                         help="output root (default /tmp/<kind>)")
     parser.add_argument("--train_scans", type=int, default=40)
     parser.add_argument("--val_scans", type=int, default=12)
+    parser.add_argument("--val_seed", type=int, default=None,
+                        help="override the kind's val seed (e.g. a"
+                             " fresh 100-scan val split for"
+                             " eval-noise-reduced studies; RESULTS.md"
+                             " bigval splits use 43 (parity) / 24"
+                             " (br))")
     args = parser.parse_args(argv)
     out = args.out or f"/tmp/{args.kind}"
 
@@ -51,6 +57,7 @@ def main(argv=None):
 
     if args.kind in ("parity", "qfix"):
         tr, va = (41, 42) if args.kind == "parity" else (11, 12)
+        va = args.val_seed if args.val_seed is not None else va
         write_synthetic_scans(f"{out}/train", cfg,
                               num_scans=args.train_scans, seed=tr, **kw)
         write_synthetic_scans(f"{out}/val", cfg,
@@ -60,7 +67,10 @@ def main(argv=None):
         write_synthetic_scans(f"{out}/real", cfg,
                               num_scans=args.train_scans, seed=21, **kw)
         write_synthetic_scans(f"{out}/val", cfg,
-                              num_scans=args.val_scans, seed=22, **kw)
+                              num_scans=args.val_scans,
+                              seed=(args.val_seed
+                                    if args.val_seed is not None
+                                    else 22), **kw)
         # source domain: full labels, shifted distribution (different
         # seed + object count); names carry "aug" for train_aug splits
         write_synthetic_scans(f"{out}/virtual", cfg,
@@ -79,7 +89,10 @@ def main(argv=None):
                               num_scans=args.train_scans, seed=31,
                               shape_library=lib, **kw)
         write_synthetic_scans(f"{out}/val", cfg,
-                              num_scans=args.val_scans, seed=32,
+                              num_scans=args.val_scans,
+                              seed=(args.val_seed
+                                    if args.val_seed is not None
+                                    else 32),
                               shape_library=lib, **kw)
         parts = ["train", "val"]
 

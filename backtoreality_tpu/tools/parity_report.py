@@ -25,14 +25,24 @@ def _load_jsonl(path):
             if line.strip()]
 
 
-# per-term loss components both systems log under the reference's key
-# names (our ScalarHistory mirrors `train_Votenet_FSB.py:233-243`;
-# ref_loop.py now records the same stat_dict per epoch)
+# preferred per-term component ordering (VoteNet keys); any other
+# shared *_loss keys (e.g. GF's per-prefix heads) are appended sorted.
+# Both systems log under the reference's key names (our ScalarHistory
+# mirrors `train_Votenet_FSB.py:233-243`; ref_loop.py records the same
+# stat_dict per epoch).
 COMPONENTS = (
     "vote_loss", "objectness_loss", "center_loss", "heading_cls_loss",
     "heading_reg_loss", "size_cls_loss", "size_reg_loss",
     "sem_cls_loss", "box_loss",
 )
+
+
+def _component_keys(ref_row: dict, ours_row: dict) -> list[str]:
+    shared = [k for k in ref_row
+              if k.endswith("_loss") and k != "eval_loss"
+              and k in ours_row]
+    ordered = [k for k in COMPONENTS if k in shared]
+    return ordered + sorted(k for k in shared if k not in COMPONENTS)
 
 
 def build_report(ref_dir: str, ours_dir: str) -> dict:
@@ -62,8 +72,8 @@ def build_report(ref_dir: str, ours_dir: str) -> dict:
     comp_rows = []
     for e in epochs:
         rr, orow = ref_rows[e], ours_rows[e]
-        comps = {c: (orow[c], rr[c]) for c in COMPONENTS
-                 if c in rr and c in orow and rr[c]}
+        comps = {c: (orow[c], rr[c])
+                 for c in _component_keys(rr, orow) if rr[c]}
         if comps:
             comp_rows.append({"epoch": e, **{
                 c: round(o / r, 3) for c, (o, r) in comps.items()}})

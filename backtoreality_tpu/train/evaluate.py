@@ -55,9 +55,14 @@ def main(argv=None):
         sub = argparse.ArgumentParser()
         vn_driver.add_common_flags(sub)
         sub.add_argument("--split", default="val")
+        sub.add_argument("--kind", default="plain",
+                         choices=["plain", "da", "da_jitter"],
+                         help="model graph the checkpoint was trained"
+                              " with (BR -> da, CenterRefine ->"
+                              " da_jitter); eval protocol is identical")
         flags = sub.parse_args(rest)
         cfg = get_config(flags.dataset)
-        model = vn_driver.build_model(flags, cfg)
+        model = vn_driver.build_model(flags, cfg, flags.kind)
         use_height = not flags.no_height
         num_point = flags.num_point
         thresholds = [flags.ap_iou_thresh, 0.5]
@@ -89,10 +94,20 @@ def main(argv=None):
         shard_index=jax.process_index())
     print(f"eval scans: {len(ds)}")
 
+    jitter_args = getattr(flags, "kind", "plain") == "da_jitter"
+
+    def _model_args(batch, n=None):
+        sl = slice(None) if n is None else slice(0, n)
+        args = (jnp.asarray(batch["point_clouds"][sl]),)
+        if jitter_args:
+            args += (jnp.asarray(batch["center_label"][sl]),
+                     jnp.asarray(batch["sem_cls_label"][sl]))
+        return args
+
     rng = jax.random.PRNGKey(0)
     sample = next(iter(loader))
     init_fn = jax.jit(functools.partial(model.init, train=False))
-    variables = init_fn(rng, jnp.asarray(sample["point_clouds"][:1]))
+    variables = init_fn(rng, *_model_args(sample, 1))
     sd, epoch, _ = common.load_checkpoint(flags.checkpoint_path)
     params = common.partial_restore(
         jax.device_get(variables["params"]), sd["params"], log=print)
@@ -104,8 +119,8 @@ def main(argv=None):
         {"params": params, "batch_stats": batch_stats}, mesh)
 
     @jax.jit
-    def forward(variables, point_clouds):
-        return model.apply(variables, point_clouds, train=False)
+    def forward(variables, *args):
+        return model.apply(variables, *args, train=False)
 
     config_dict = dict(
         remove_empty_box=False, use_3d_nms=True, nms_iou=0.25,
@@ -121,9 +136,11 @@ def main(argv=None):
         calcs = {(p, t): APCalculator(t, cfg.class2type)
                  for p in eval_prefixes for t in thresholds}
         for batch in loader:
-            pc = shard_batch({"point_clouds": batch["point_clouds"]},
-                             mesh)["point_clouds"]
-            outs = jax.device_get(forward(variables, pc))
+            keys = ["point_clouds"] + (
+                ["center_label", "sem_cls_label"] if jitter_args else [])
+            dev = shard_batch({k: batch[k] for k in keys}, mesh)
+            outs = jax.device_get(
+                forward(variables, *(dev[k] for k in keys)))
             gts = parse_groundtruths(batch, config_dict)
             for prefix in eval_prefixes:
                 preds = parse_predictions(outs, config_dict, prefix)

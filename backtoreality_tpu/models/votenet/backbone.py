@@ -166,10 +166,16 @@ class Pointnet2BackboneJitter(nn.Module):
             query_mode=self.query_mode,
             fps_candidates=self.fps_candidates, dtype=self.dtype,
             f32_tail=self.f32_tail)
-        # 64 centers max, r=0.8, mlp [256,128] (`backbone_module.py:180-186`)
+        # 64 centers max, r=0.8, ONE mlp layer 256(+3 xyz) -> 128, and
+        # normalize_xyz=False (`backbone_module.py:187-195`; the
+        # reference's mlp=[256, 128] lists the input width explicitly —
+        # round-3 carried an extra 256-wide hidden layer and
+        # radius-normalized grouped xyz here, a real center_features
+        # contract divergence caught by the round-4 DA_jitter
+        # weight-import golden test)
         self.ctjt = SAModuleCenters(
-            radius=0.8, nsample=16, mlp=[256, 128], use_xyz=True,
-            normalize_xyz=True, query_mode=self.query_mode,
+            radius=0.8, nsample=16, mlp=[128], use_xyz=True,
+            normalize_xyz=False, query_mode=self.query_mode,
             dtype=self.dtype)
 
     def __call__(self, pointcloud, center_label, sem_cls_label,
@@ -180,8 +186,10 @@ class Pointnet2BackboneJitter(nn.Module):
         (`backbone_module.py:257-260`)."""
         end_points = self.backbone(
             pointcloud, end_points, train=train, bn_momentum=bn_momentum)
+        # groups the FP2-refined seed features (at sa2 positions), not
+        # the raw sa2 features (`backbone_module.py:257-259`)
         feats = self.ctjt(
-            end_points["sa2_xyz"], end_points["sa2_features"],
+            end_points["sa2_xyz"], end_points["fp2_features"],
             center_label, train=train, bn_momentum=bn_momentum)
         onehot = jnp.eye(self.num_class, dtype=feats.dtype)[
             sem_cls_label.astype(jnp.int32)]

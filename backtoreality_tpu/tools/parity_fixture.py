@@ -77,6 +77,16 @@ def main(argv=None):
                               num_scans=args.train_scans, num_objects=8,
                               points_per_object=1000, floor_points=5000,
                               seed=23, prefix="scene_aug")
+        # the reference parses aug scan names as the first 18 chars
+        # (`scannet_detection_dataset.py:69`, names like
+        # scene_augXXXX_YY_k); pad ours to that convention so the
+        # torch ref loop can consume the same fixture
+        import pathlib as _pl
+
+        for f in _pl.Path(f"{out}/virtual").glob("scene_aug*.npy"):
+            stem16, suffix = f.name[:16], f.name[16:]
+            if not suffix.startswith("_1"):
+                f.rename(f.with_name(stem16 + "_1" + suffix))
         parts = ["real", "val", "virtual"]
     else:  # shapefix
         from backtoreality_tpu.datagen.library import (

@@ -144,6 +144,58 @@ def votenet_state_dict(sd):
     return params, stats
 
 
+def _convbn_stack_with_out(sd, convs, bns, out_conv):
+    """_convbn_stack + a final biased 1x1 conv -> the _ConvBNStack
+    `out` layer."""
+    params, stats = _convbn_stack(sd, convs, bns)
+    params["out"] = _conv1d(sd, out_conv)
+    return params, stats
+
+
+def votenet_da_jitter_state_dict(sd):
+    """Reference `VoteNet_DA_jitter` state_dict
+    (`votenet_DA.py:179-332`) -> (flax params, batch_stats) for
+    models.votenet.VoteNetDAJitter: the plain VoteNet tree nested
+    under backbone_net.backbone, plus the ctjt center-grouping head,
+    the global/local domain discriminators, and the jitter nets."""
+    core_p, core_s = votenet_state_dict(sd)
+    params = {
+        "backbone_net": {"backbone": core_p.pop("backbone_net")},
+        **core_p,
+    }
+    stats = {
+        "backbone_net": {"backbone": core_s.pop("backbone_net")},
+        **core_s,
+    }
+    # ctjt head (`backbone_module.py:187-195`: PointnetSAModuleCenters
+    # mlp [256(+3 xyz), 128] -> ONE SharedMLP layer)
+    p, s = _shared_mlp(sd, "backbone_net.ctjt_head.mlp_module", 1)
+    params["backbone_net"]["ctjt"] = p
+    stats["backbone_net"]["ctjt"] = s
+    # domain discriminators (`votenet_DA.py:223-253`)
+    p, s = _convbn_stack(sd, ["global_netD1.0", "global_netD1.3"],
+                         ["global_netD1.1", "global_netD1.4"])
+    params["da_heads"] = {"global_netD1": p,
+                          "global_netD2": _dense(sd, "global_netD2")}
+    stats["da_heads"] = {"global_netD1": s}
+    p, s = _convbn_stack_with_out(
+        sd, ["local_netD.0", "local_netD.3"],
+        ["local_netD.1", "local_netD.4"], "local_netD.6")
+    params["da_heads"]["local_netD"] = p
+    stats["da_heads"]["local_netD"] = s
+    # jitter discriminator + prediction net (`votenet_DA.py:256-271`)
+    p, s = _convbn_stack_with_out(
+        sd, ["jitter_netD.0", "jitter_netD.3"],
+        ["jitter_netD.1", "jitter_netD.4"], "jitter_netD.6")
+    params["jitter_netD"] = p
+    stats["jitter_netD"] = s
+    p, s = _convbn_stack_with_out(sd, ["jitter_net.0"],
+                                  ["jitter_net.1"], "jitter_net.3")
+    params["jitter_net"] = p
+    stats["jitter_net"] = s
+    return params, stats
+
+
 # ---------------------------------------------------------------------------
 # GroupFree3D
 # ---------------------------------------------------------------------------
@@ -316,6 +368,8 @@ def import_checkpoint(path, model: str, out, nhead=8):
     try:
         if model == "votenet":
             params, stats = votenet_state_dict(sd)
+        elif model == "votenet_da_jitter":
+            params, stats = votenet_da_jitter_state_dict(sd)
         elif model == "groupfree":
             params, stats = groupfree_state_dict(sd, nhead=nhead)
         else:
@@ -346,7 +400,7 @@ def main(argv=None):
                     "framework's msgpack format")
     parser.add_argument("checkpoint", help="torch .tar/.pth file")
     parser.add_argument("--model", required=True,
-                        choices=["votenet", "groupfree"])
+                        choices=["votenet", "votenet_da_jitter", "groupfree"])
     parser.add_argument("--out", required=True)
     parser.add_argument("--nhead", type=int, default=8)
     args = parser.parse_args(argv)

@@ -18,26 +18,39 @@ class GFBackbone(nn.Module):
     query_mode: str = "stratified"
     fps_candidates: int | None = None  # subset-FPS at SA1 (speed knob)
     dtype: jnp.dtype = jnp.float32
+    # run the LAST N stages (fp2, fp1, sa4, ...) in f32 under bf16
+    # compute — see votenet.backbone.Pointnet2Backbone.f32_tail
+    f32_tail: int = 0
+
+    def _stage_dtype(self, idx):
+        """idx: 0..5 over (sa1..sa4, fp1, fp2)."""
+        return jnp.float32 if (6 - idx) <= self.f32_tail else self.dtype
 
     def setup(self):
         w, d = self.width, self.depth
         kw = dict(use_xyz=True, normalize_xyz=True,
-                  query_mode=self.query_mode, dtype=self.dtype)
+                  query_mode=self.query_mode)
         self.sa1 = SAModuleVotes(
             npoint=2048, radius=0.2, nsample=64,
             mlp=[64 * w] * d + [128 * w],
-            fps_candidates=self.fps_candidates, **kw)
+            fps_candidates=self.fps_candidates,
+            dtype=self._stage_dtype(0), **kw)
         self.sa2 = SAModuleVotes(
             npoint=1024, radius=0.4, nsample=32,
-            mlp=[128 * w] * d + [256 * w], **kw)
+            mlp=[128 * w] * d + [256 * w],
+            dtype=self._stage_dtype(1), **kw)
         self.sa3 = SAModuleVotes(
             npoint=512, radius=0.8, nsample=16,
-            mlp=[128 * w] * d + [256 * w], **kw)
+            mlp=[128 * w] * d + [256 * w],
+            dtype=self._stage_dtype(2), **kw)
         self.sa4 = SAModuleVotes(
             npoint=256, radius=1.2, nsample=16,
-            mlp=[128 * w] * d + [256 * w], **kw)
-        self.fp1 = FPModule(mlp=[256 * w, 256 * w], dtype=self.dtype)
-        self.fp2 = FPModule(mlp=[256 * w, 288], dtype=self.dtype)
+            mlp=[128 * w] * d + [256 * w],
+            dtype=self._stage_dtype(3), **kw)
+        self.fp1 = FPModule(mlp=[256 * w, 256 * w],
+                            dtype=self._stage_dtype(4))
+        self.fp2 = FPModule(mlp=[256 * w, 288],
+                            dtype=self._stage_dtype(5))
 
     def __call__(self, pointcloud, end_points=None, *, train: bool,
                  bn_momentum=0.1):

@@ -49,12 +49,14 @@ class GroupFreeDetector(nn.Module):
     # precision; see votenet.VoteNet.head_dtype) — they run on 256
     # queries, a negligible share of the step FLOPs
     head_dtype: jnp.dtype = jnp.float32
+    f32_tail: int = 0  # see GFBackbone.f32_tail
 
     def setup(self):
         self.backbone_net = GFBackbone(
             input_feature_dim=self.input_feature_dim, width=self.width,
             query_mode=self.query_mode,
-            fps_candidates=self.fps_candidates, dtype=self.dtype)
+            fps_candidates=self.fps_candidates, dtype=self.dtype,
+            f32_tail=self.f32_tail)
         if self.sampling == "kps":
             self.points_obj_cls = PointsObjClsModule(288,
                                                      dtype=self.dtype)

@@ -131,6 +131,11 @@ def add_flags(parser: argparse.ArgumentParser):
                              " FPS at K=8192")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 model compute (f32 params/stats)")
+    parser.add_argument("--f32_tail", type=int, default=0,
+                        help="with --bf16: run the last N backbone"
+                             " stages (fp2, fp1, sa4, ...) in f32 —"
+                             " negligible HBM traffic, full-precision"
+                             " seed features for the decoder")
     parser.add_argument("--bn_recal_batches", type=int, default=None,
                         help="train-mode batches to refresh BN stats"
                              " before eval (default 20 with --bf16)")
@@ -179,6 +184,7 @@ def build_model(flags, cfg, kind="plain"):
         fps_candidates=getattr(flags, "fps_candidates", None),
         dtype=jnp.bfloat16 if getattr(flags, "bf16", False)
         else jnp.float32,
+        f32_tail=getattr(flags, "f32_tail", 0),
     )
     if kind == "plain":
         return GroupFreeDetector(**kwargs)

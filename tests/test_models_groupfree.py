@@ -174,3 +174,31 @@ class TestGroupFreeDA:
             query_points_obj_topk=4)
         assert np.isfinite(float(loss))
         assert np.isfinite(float(aux["jitter_loss_S"]))
+
+
+def test_gf_f32_tail_selective_precision():
+    """--bf16 --f32_tail on GF: early SA stages bf16, tail + decoder
+    inputs f32 (mirrors the VoteNet knob)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from backtoreality_tpu.data import scannet_md40_config
+    from backtoreality_tpu.models.groupfree import GroupFreeDetector
+
+    cfg = scannet_md40_config()
+    model = GroupFreeDetector(
+        num_class=cfg.num_class, num_heading_bin=cfg.num_heading_bin,
+        num_size_cluster=cfg.num_size_cluster,
+        mean_size_arr=tuple(map(tuple, cfg.mean_size_arr.tolist())),
+        num_proposal=16, num_decoder_layers=2, dim_feedforward=64,
+        self_position_embedding="loc_learned",
+        dtype=jnp.bfloat16, f32_tail=3)
+    pc = jnp.asarray((np.random.default_rng(0)
+                      .random((1, 1024, 3), np.float32) * 2 - 1) * 2)
+    variables = model.init(jax.random.PRNGKey(0), pc, train=False)
+    out = model.apply(variables, pc, train=False)
+    assert out["sa2_features"].dtype == jnp.bfloat16
+    assert out["fp2_features"].dtype == jnp.float32
+    assert np.isfinite(
+        np.asarray(out["last_center"], np.float32)).all()

@@ -106,3 +106,78 @@ def test_ref_loop_and_import_roundtrip(tmp_path):
                                  mesh, None)
     assert np.isfinite(means["loss"])
     assert 0.0 <= metrics["mAP"] <= 1.0
+
+
+def _fixture(tmp_path, aug=False):
+    from backtoreality_tpu.data import scannet_md40_config
+    from backtoreality_tpu.data.synthetic import write_synthetic_scans
+
+    cfg = scannet_md40_config()
+    d = tmp_path / ("aug" if aug else "plain")
+    write_synthetic_scans(d, cfg, num_scans=8, num_objects=4,
+                          points_per_object=500, floor_points=1200,
+                          seed=7 if aug else 6,
+                          prefix="scene_aug" if aug else "scene")
+    if aug:
+        # reference aug-name convention (18-char stems)
+        for f in d.glob("scene_aug*.npy"):
+            f.rename(f.with_name(f.name[:16] + "_1" + f.name[16:]))
+    return d
+
+
+def test_ref_loop_groupfree_recipe(tmp_path):
+    """The GF reference loop (AdamW dual-LR, per-iteration scheduler,
+    clip 0.1) runs and logs per-prefix components + dual LRs."""
+    import json as _json
+
+    from backtoreality_tpu.tools import ref_loop
+
+    d = _fixture(tmp_path)
+    log_dir = tmp_path / "gf_log"
+    ref_loop.main([
+        "--model", "groupfree", "--data_root", str(d),
+        "--log_dir", str(log_dir), "--num_point", "1200",
+        "--num_target", "16", "--max_epoch", "1", "--eval_freq", "1",
+        "--batch_size", "4", "--num_decoder_layers", "2",
+        "--dim_feedforward", "64"])
+    hist = [_json.loads(line) for line in
+            (log_dir / "history.jsonl").read_text().splitlines()]
+    assert len(hist) == 1
+    row = hist[0]
+    assert np.isfinite(row["loss"]) and "eval_loss" in row
+    assert "last_sem_cls_loss" in row and "proposal_box_loss" in row
+    assert row["lr_decoder"] == pytest.approx(row["lr"] / 10)
+    # the reference-format GF checkpoint imports into our model
+    from backtoreality_tpu.tools.torch_import import main as import_main
+
+    import_main([str(log_dir / "checkpoint.tar"), "--model",
+                 "groupfree", "--out", str(tmp_path / "gf_imported.tar")])
+
+
+def test_ref_loop_cr_recipe(tmp_path):
+    """The CenterRefine reference loop (two loaders, DA_jitter,
+    epoch-ramped criterion) runs; its checkpoint imports via the
+    DA_jitter converter."""
+    import json as _json
+
+    from backtoreality_tpu.tools import ref_loop
+
+    real = _fixture(tmp_path)
+    virtual = _fixture(tmp_path, aug=True)
+    log_dir = tmp_path / "cr_log"
+    ref_loop.main([
+        "--recipe", "cr", "--center_jitter", "0.5",
+        "--source_data_root", str(virtual), "--data_root", str(real),
+        "--log_dir", str(log_dir), "--num_point", "1200",
+        "--num_target", "16", "--max_epoch", "1", "--eval_freq", "1",
+        "--batch_size", "4"])
+    hist = [_json.loads(line) for line in
+            (log_dir / "history.jsonl").read_text().splitlines()]
+    assert len(hist) == 1
+    assert np.isfinite(hist[0]["loss"])
+    assert "jitter_loss" in hist[0]
+    from backtoreality_tpu.tools.torch_import import main as import_main
+
+    import_main([str(log_dir / "checkpoint.tar"), "--model",
+                 "votenet_da_jitter",
+                 "--out", str(tmp_path / "cr_imported.tar")])

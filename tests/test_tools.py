@@ -51,3 +51,41 @@ def test_parity_report_matched_epochs(tmp_path):
     out = parity_report.main([
         "--ref_dir", str(ref_dir), "--ours_dir", str(ours_dir)])
     assert out == report
+
+
+def test_parity_report_component_ratios(tmp_path):
+    """Per-component ours/ref ratios at matched epochs: only shared
+    *_loss keys, VoteNet ordering first, zero-valued ref terms and
+    eval_loss excluded, GF-style prefix keys picked up generically."""
+    ref_dir = tmp_path / "ref"
+    ours_dir = tmp_path / "ours"
+    ref_dir.mkdir()
+    ours_dir.mkdir()
+    ref_rows = [
+        {"epoch": 0, "loss": 30.0, "vote_loss": 2.0,
+         "objectness_loss": 0.5, "heading_cls_loss": 0.0,
+         "proposal_sem_cls_loss": 1.0, "ref_only_loss": 9.0,
+         "eval_loss": 31.0},
+        {"epoch": 1, "loss": 20.0},  # no components -> no comp row
+    ]
+    ours_rows = [
+        {"step": 0, "loss": 31.0, "vote_loss": 1.0,
+         "objectness_loss": 1.0, "heading_cls_loss": 0.1,
+         "proposal_sem_cls_loss": 2.0, "eval_loss": 30.0},
+        {"step": 1, "loss": 19.0},
+    ]
+    (ref_dir / "history.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in ref_rows))
+    (ours_dir / "metrics.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in ours_rows))
+
+    report = parity_report.build_report(str(ref_dir), str(ours_dir))
+    assert report["components"] == [{
+        "epoch": 0,
+        "vote_loss": 0.5,           # 1.0 / 2.0
+        "objectness_loss": 2.0,     # 1.0 / 0.5
+        "proposal_sem_cls_loss": 2.0,
+        # heading_cls_loss: ref value 0.0 -> skipped (no ratio)
+        # ref_only_loss: not logged by ours -> skipped
+        # eval_loss: excluded by name
+    }]

@@ -73,7 +73,7 @@ def fixture_dir(tmp_path_factory):
     return d
 
 
-def _run_pair(args, log_dir, timeout=900, attempts=2):
+def _run_pair(args, log_dir, timeout=1200, attempts=2):
     """Launch the 2-rank pair; retry once on failure.
 
     The retry absorbs first-compile skew on starved CI hosts: XLA's
@@ -81,21 +81,31 @@ def _run_pair(args, log_dir, timeout=900, attempts=2):
     processes compiling the train step on one shared CPU can reach
     their first collective more than 30 s apart. The second attempt
     rides the persistent CPU compilation cache, so both ranks reach
-    the collective within seconds.
+    the collective within seconds. A rank TIMEOUT also consumes an
+    attempt (it is the same starved-host mode, just slower): the pair
+    is killed and relaunched rather than failing the test outright.
     """
     last = None
     for attempt in range(attempts):
         port = _free_port()
         procs = [_launch(args, r, 2, port, log_dir) for r in range(2)]
         outs = []
+        timed_out = False
         for p in procs:
             try:
                 out, _ = p.communicate(timeout=timeout)
             except subprocess.TimeoutExpired:
                 for q in procs:
                     q.kill()
-                raise
+                for q in procs:
+                    q.wait()
+                timed_out = True
+                break
             outs.append(out)
+        if timed_out:
+            last = [(None, f"rank pair timed out after {timeout}s "
+                           f"(attempt {attempt + 1})")]
+            continue
         if all(p.returncode == 0 for p in procs):
             return outs
         last = [(p.returncode, out) for p, out in zip(procs, outs)]

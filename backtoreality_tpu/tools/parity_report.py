@@ -45,11 +45,17 @@ def _component_keys(ref_row: dict, ours_row: dict) -> list[str]:
     return ordered + sorted(k for k in shared if k not in COMPONENTS)
 
 
-def build_report(ref_dir: str, ours_dir: str) -> dict:
+def build_report(ref_dir: str, ours_dir: str,
+                 ref_loss_scale: float = 1.0) -> dict:
+    """`ref_loss_scale` rescales the ref history's total 'loss' only
+    (components are untouched): ref_loop runs recorded before
+    2026-08-18 by the cr/groupfree recipes double-counted the logged
+    total (see ref_loop._accumulate_batch) — pass 0.5 for those."""
     ref = _load_jsonl(pathlib.Path(ref_dir) / "history.jsonl")
     ours = _load_jsonl(pathlib.Path(ours_dir) / "metrics.jsonl")
 
-    ref_loss = {r["epoch"]: r["loss"] for r in ref if "loss" in r}
+    ref_loss = {r["epoch"]: r["loss"] * ref_loss_scale
+                for r in ref if "loss" in r}
     ref_eval = {r["epoch"]: (r["mAP"], r["AR"]) for r in ref
                 if "mAP" in r}
     ref_rows = {r["epoch"]: r for r in ref if "loss" in r}
@@ -87,9 +93,15 @@ def main(argv=None):
     parser.add_argument("--every", type=int, default=5,
                         help="print every Nth epoch's loss row")
     parser.add_argument("--json", action="store_true")
+    parser.add_argument("--ref_loss_scale", type=float, default=1.0,
+                        help="rescale the ref total loss (0.5 for "
+                             "cr/groupfree ref_loop histories recorded "
+                             "before 2026-08-18, which double-counted "
+                             "the logged total)")
     args = parser.parse_args(argv)
 
-    report = build_report(args.ref_dir, args.ours_dir)
+    report = build_report(args.ref_dir, args.ours_dir,
+                          ref_loss_scale=args.ref_loss_scale)
     if args.json:
         print(json.dumps(report))
         return report
@@ -109,7 +121,16 @@ def main(argv=None):
                   f"{row['ref_mAP']:>9.4f} {row['ours_AR']:>9.4f} "
                   f"{row['ref_AR']:>9.4f}")
     if report["components"]:
-        comps = [c for c in COMPONENTS if c in report["components"][-1]]
+        # columns: every component key any row carries, in the
+        # canonical order first (VoteNet keys) then sorted (e.g. GF's
+        # per-prefix head keys)
+        seen: dict[str, None] = {}
+        for row in report["components"]:
+            for c in row:
+                if c != "epoch":
+                    seen[c] = None
+        comps = ([c for c in COMPONENTS if c in seen]
+                 + sorted(c for c in seen if c not in COMPONENTS))
         print("\nours/ref per-component ratio:")
         print(f"{'epoch':>6} " + " ".join(
             f"{c.replace('_loss', ''):>11}" for c in comps))

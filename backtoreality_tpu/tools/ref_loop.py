@@ -144,6 +144,20 @@ def _accumulate(stat_sums: dict, end_points) -> None:
         stat_sums[key] = stat_sums.get(key, 0.0) + float(val)
 
 
+def _accumulate_batch(stat_sums: dict, end_points, loss) -> None:
+    """Accumulate one batch's scalars, counting the optimized loss
+    exactly ONCE: every reference criterion writes
+    ``end_points['loss']`` (e.g. Votenet loss_helper.py:536, GF
+    loss_helper.py:314, DA_jitter loss_helper.py:796), which
+    `_accumulate` already picks up — runs logged before 2026-08-18 by
+    the cr/groupfree recipes added the returned loss on top, doubling
+    the logged 'loss' (components were never affected)."""
+    _accumulate(stat_sums, end_points)
+    if "loss" not in end_points:
+        stat_sums["loss"] = stat_sums.get("loss", 0.0) + float(
+            loss.item() if hasattr(loss, "item") else loss)
+
+
 def add_flags(parser: argparse.ArgumentParser):
     parser.add_argument("--model", default="votenet",
                         choices=["votenet", "groupfree"])
@@ -389,11 +403,7 @@ def _main_votenet(args):
                 loss, ep_S, _ = criterion(ep_S, ep_T, epoch, DC)
                 loss.backward()
                 optimizer.step()
-                _accumulate(stat_sums, ep_S)
-                # the DA criteria return the combined S+T loss without
-                # writing it into end_points
-                stat_sums["loss"] = stat_sums.get("loss", 0.0) + float(
-                    loss.item())
+                _accumulate_batch(stat_sums, ep_S, loss)
                 nb += 1
         else:
             for batch in train_loader:
@@ -401,7 +411,7 @@ def _main_votenet(args):
                 loss, end_points = forward_batch(batch)
                 loss.backward()
                 optimizer.step()
-                _accumulate(stat_sums, end_points)
+                _accumulate_batch(stat_sums, end_points, loss)
                 nb += 1
         assert nb > 0, (
             "empty train loader (fewer scans than --batch_size with "
@@ -610,9 +620,7 @@ def _main_groupfree(args):
                                                args.clip_norm)
             optimizer.step()
             scheduler.step()
-            _accumulate(stat_sums, end_points)
-            stat_sums["loss"] = stat_sums.get("loss", 0.0) + float(
-                loss.item())
+            _accumulate_batch(stat_sums, end_points, loss)
             nb += 1
         rec = {"epoch": epoch, **_epoch_stats(stat_sums, nb),
                "lr": float(optimizer.param_groups[0]["lr"]),

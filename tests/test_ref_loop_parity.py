@@ -147,6 +147,15 @@ def test_ref_loop_groupfree_recipe(tmp_path):
     assert np.isfinite(row["loss"]) and "eval_loss" in row
     assert "last_sem_cls_loss" in row and "proposal_box_loss" in row
     assert row["lr_decoder"] == pytest.approx(row["lr"] / 10)
+    # the logged loss must equal the reference composition recomputed
+    # from the logged component means (GF loss_helper.py:309-314 is
+    # linear in them, so per-epoch means commute); catches any
+    # double-counting in the loop's stat accumulation
+    expect = 10.0 * (0.8 * row["query_points_generation_loss"]
+                     + (0.1 * row["sum_heads_objectness_loss"]
+                        + 1.0 * row["sum_heads_box_loss"]
+                        + 0.1 * row["sum_heads_sem_cls_loss"]) / 3.0)
+    assert row["loss"] == pytest.approx(expect, rel=1e-4)
     # the reference-format GF checkpoint imports into our model
     from backtoreality_tpu.tools.torch_import import main as import_main
 

@@ -89,3 +89,25 @@ def test_parity_report_component_ratios(tmp_path):
         # ref_only_loss: not logged by ours -> skipped
         # eval_loss: excluded by name
     }]
+
+
+def test_ref_loop_counts_loss_exactly_once():
+    """Every reference criterion writes end_points['loss'] (Votenet
+    loss_helper.py:536, GF loss_helper.py:314, DA_jitter :796), which
+    _accumulate picks up; the loop must not add the returned loss on
+    top (the cr/groupfree recipes double-counted the logged 'loss'
+    before 2026-08-18)."""
+    import torch
+
+    from backtoreality_tpu.tools.ref_loop import _accumulate_batch
+
+    loss = torch.tensor(7.0)
+    stat_sums = {}
+    # criterion that writes end_points['loss'] (all reference criteria)
+    _accumulate_batch(stat_sums, {"loss": loss, "vote_loss": 2.0}, loss)
+    assert stat_sums["loss"] == 7.0
+    assert stat_sums["vote_loss"] == 2.0
+    # hypothetical criterion that does not: the returned loss still lands
+    stat_sums = {}
+    _accumulate_batch(stat_sums, {"vote_loss": 2.0}, loss)
+    assert stat_sums["loss"] == 7.0

@@ -222,3 +222,196 @@ def test_loss_trajectories_track(ref_env):
     np.testing.assert_allclose(jax_losses, torch_losses, rtol=1e-5,
                                err_msg=f"jax={jax_losses} "
                                        f"torch={torch_losses}")
+
+
+# ---------------------------------------------------------------------------
+# GroupFree3D: same method (f64, SGD, 3 steps). sampling="fps" plays the
+# role seed_fps plays above: FPS + ball query run on param-independent
+# xyz, so index selections cannot flip mid-trajectory (the KPS scorer's
+# top-k WOULD be param-dependent; with "fps" the KPS loss is skipped by
+# both criteria). Dropout is 0 on both sides — two correct
+# implementations cannot share dropout masks.
+# ---------------------------------------------------------------------------
+
+GF = pathlib.Path("/root/reference/detection/GroupFree3D")
+
+GF_LABEL_KEYS = (
+    "center_label", "box_label_mask", "sem_cls_label",
+    "heading_class_label", "heading_residual_label",
+    "size_class_label", "size_residual_label",
+    "point_obj_mask", "point_instance_label",
+)
+
+GF_LOSS_KWARGS = dict(
+    num_decoder_layers=2,
+    query_points_generator_loss_coef=0.8,
+    obj_loss_coef=0.1, box_loss_coef=1.0, sem_cls_loss_coef=0.1,
+    query_points_obj_topk=4,
+    center_loss_type="smoothl1", center_delta=1.0,
+    size_loss_type="smoothl1", size_delta=1.0,
+    heading_loss_type="smoothl1", heading_delta=1.0)
+
+
+@pytest.fixture(scope="module")
+def gf_ref_env():
+    torch = pytest.importorskip("torch")
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.cuda.FloatTensor = torch.FloatTensor
+    ply = types.ModuleType("plyfile")
+    ply.PlyData = object
+    ply.PlyElement = object
+    sys.modules.setdefault("plyfile", ply)
+    sys.modules.setdefault("trimesh", types.ModuleType("trimesh"))
+    import torch_ext_stub
+
+    torch_ext_stub.install()
+    # purge modules a Votenet-tree fixture may have cached under the
+    # same names (see test_model_parity_groupfree.ref_model)
+    for name in ("backbone_module", "pointnet2_modules",
+                 "pointnet2_utils", "pytorch_utils", "pc_util", "nms",
+                 "box_util", "eval_det", "metric_util", "transformer",
+                 "multi_head_attention", "modules", "detector",
+                 "votenet", "loss_helper"):
+        sys.modules.pop(name, None)
+    for sub in ("pointnet2", "utils", "models"):
+        sys.path.insert(0, str(GF / sub))
+    sys.path.insert(0, str(GF))
+    import importlib
+
+    pkg = types.ModuleType("gfmodels_det")
+    pkg.__path__ = [str(GF / "models")]
+    sys.modules.setdefault("gfmodels_det", pkg)
+    detector_mod = importlib.import_module("gfmodels_det.detector")
+    loss_mod = importlib.import_module("gfmodels_det.loss_helper")
+    return torch, detector_mod, loss_mod
+
+
+def _gf_batch():
+    from backtoreality_tpu.data import scannet_md40_config
+    from backtoreality_tpu.data.dataset import DetectionDataset
+    from backtoreality_tpu.data.synthetic import write_synthetic_scans
+
+    import tempfile
+
+    cfg = scannet_md40_config()
+    d = tempfile.mkdtemp()
+    write_synthetic_scans(d, cfg, num_scans=B, num_objects=4,
+                          points_per_object=200, floor_points=300)
+    ds = DetectionDataset(cfg, d, split="all", num_points=N,
+                          gf_labels=True)
+    items = [ds.get(i) for i in range(B)]
+    return cfg, {k: np.stack([it[k] for it in items])
+                 for k in items[0]}
+
+
+@pytest.mark.skipif(not GF.exists(), reason="reference not mounted")
+def test_gf_loss_trajectories_track(gf_ref_env):
+    torch, detector_mod, loss_mod = gf_ref_env
+    cfg, batch = _gf_batch()
+
+    torch.manual_seed(0)
+    ref_model = detector_mod.GroupFreeDetector(
+        num_class=cfg.num_class,
+        num_heading_bin=cfg.num_heading_bin,
+        num_size_cluster=cfg.num_size_cluster,
+        mean_size_arr=cfg.mean_size_arr,
+        input_feature_dim=0,
+        num_proposal=NUM_PROPOSAL,
+        sampling="fps",
+        num_decoder_layers=2,
+        dim_feedforward=128,
+        self_position_embedding="loc_learned",
+        dropout=0.0,
+    )
+    init_sd = copy.deepcopy(ref_model.state_dict())
+
+    class _Cfg:
+        num_class = cfg.num_class
+        num_heading_bin = cfg.num_heading_bin
+        num_size_cluster = cfg.num_size_cluster
+        mean_size_arr = cfg.mean_size_arr
+
+    labels_t = {}
+    for k in GF_LABEL_KEYS:
+        v = torch.from_numpy(batch[k])
+        labels_t[k] = v.long() if v.dtype in (torch.int32, torch.int64) \
+            else v.double()
+    inputs = {"point_clouds":
+              torch.from_numpy(batch["point_clouds"]).double()}
+
+    ref_model.double()
+    ref_model.train()
+    opt = torch.optim.SGD(ref_model.parameters(), lr=LR)
+    torch_losses = []
+    prev_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        for _ in range(STEPS):
+            end_points = ref_model(inputs)
+            for k, v in labels_t.items():
+                end_points[k] = v
+            loss, end_points = loss_mod.get_loss(end_points, _Cfg,
+                                                 **GF_LOSS_KWARGS)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            torch_losses.append(float(loss))
+    finally:
+        torch.set_default_dtype(prev_dtype)
+
+    # ---- JAX trajectory (x64) ---------------------------------------
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        import jax.numpy as jnp
+        import optax
+
+        from backtoreality_tpu.losses import groupfree as gf_losses
+        from backtoreality_tpu.models.groupfree import GroupFreeDetector
+        from backtoreality_tpu.tools.torch_import import (
+            groupfree_state_dict,
+        )
+        from backtoreality_tpu.train import common
+        from backtoreality_tpu.train.groupfree import make_train_step
+
+        params, stats = groupfree_state_dict(
+            {k: v.double() for k, v in init_sd.items()})
+        model = GroupFreeDetector(
+            num_class=cfg.num_class,
+            num_heading_bin=cfg.num_heading_bin,
+            num_size_cluster=cfg.num_size_cluster,
+            mean_size_arr=tuple(map(tuple, cfg.mean_size_arr.tolist())),
+            num_proposal=NUM_PROPOSAL,
+            sampling="fps",
+            num_decoder_layers=2,
+            dim_feedforward=128,
+            self_position_embedding="loc_learned",
+            dropout_rate=0.0,
+            query_mode="exact",
+            dtype=jnp.float64,
+            head_dtype=jnp.float64,
+        )
+        optimizer = optax.sgd(LR)
+        state = common.TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            batch_stats=stats, opt_state=optimizer.init(params))
+        step_fn = make_train_step(model, optimizer, gf_losses.get_loss,
+                                  cfg, GF_LOSS_KWARGS)
+        dev_batch = {
+            k: jnp.asarray(v, jnp.float64)
+            if v.dtype == np.float32 else jnp.asarray(v)
+            for k, v in batch.items()}
+        rng = jax.random.PRNGKey(0)
+        bnm = jnp.asarray(0.1, jnp.float64)
+        jax_losses = []
+        for _ in range(STEPS):
+            state, aux = step_fn(state, dev_batch, rng, bnm)
+            jax_losses.append(float(aux["loss"]))
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    assert abs(torch_losses[0] - torch_losses[-1]) > 1e-4
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=1e-5,
+                               err_msg=f"jax={jax_losses} "
+                                       f"torch={torch_losses}")

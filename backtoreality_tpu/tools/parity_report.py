@@ -38,11 +38,19 @@ COMPONENTS = (
 
 
 def _component_keys(ref_row: dict, ours_row: dict) -> list[str]:
+    """Shared per-component keys. A ref key `X_loss` also matches our
+    `X_loss_S`: the DA/CR reference loops accumulate the SOURCE-domain
+    end_points (ref_loop.py `_accumulate_batch(stat_sums, ep_S, ...)`),
+    while our DA drivers log both domains with _S/_T suffixes."""
     shared = [k for k in ref_row
               if k.endswith("_loss") and k != "eval_loss"
-              and k in ours_row]
+              and (k in ours_row or k + "_S" in ours_row)]
     ordered = [k for k in COMPONENTS if k in shared]
     return ordered + sorted(k for k in shared if k not in COMPONENTS)
+
+
+def _ours_component(ours_row: dict, key: str):
+    return ours_row[key] if key in ours_row else ours_row[key + "_S"]
 
 
 def build_report(ref_dir: str, ours_dir: str,
@@ -78,7 +86,7 @@ def build_report(ref_dir: str, ours_dir: str,
     comp_rows = []
     for e in epochs:
         rr, orow = ref_rows[e], ours_rows[e]
-        comps = {c: (orow[c], rr[c])
+        comps = {c: (_ours_component(orow, c), rr[c])
                  for c in _component_keys(rr, orow) if rr[c]}
         if comps:
             comp_rows.append({"epoch": e, **{

@@ -551,6 +551,7 @@ def _train_loop_da(flags, recipe):
         logger.info("grafted checkpoint %s (epoch %d)",
                     flags.checkpoint_path, ckpt_epoch)
     state = replicate(state, mesh)
+    history = ScalarHistory(flags.log_dir)
 
     train_step = make_da_train_step(model, optimizer, cfg,
                                     jitter=jitter_model)
@@ -610,6 +611,9 @@ def _train_loop_da(flags, recipe):
             "(%d pair-batches, %.1fs)",
             epoch, lr_fn(epoch), means.get("loss", float("nan")),
             means.get("obj_acc", float("nan")), nb, dt)
+        history.append(epoch, means, lr=lr_fn(epoch),
+                       scenes_per_sec=nb * flags.batch_size
+                       / max(dt, 1e-9))
         guard.update(state, epoch)
         common.save_checkpoint(ckpt_path, state, epoch)
         if (epoch + 1) % flags.eval_freq == 0:
@@ -618,6 +622,9 @@ def _train_loop_da(flags, recipe):
             metrics, _ = evaluate(eval_state, val_loader, eval_step,
                                   cfg, mesh, logger,
                                   flags.ap_iou_thresh)
+            history.append(epoch, {"mAP": metrics["mAP"],
+                                   "AR": metrics["AR"]},
+                           kind="eval")
             if jax.process_index() == 0:
                 with open(flags.log_dir + "/Eval_mAP.txt", "a") as f:
                     f.write(f"{epoch}\t{metrics['mAP']:.4f}\n")

@@ -111,3 +111,21 @@ def test_ref_loop_counts_loss_exactly_once():
     stat_sums = {}
     _accumulate_batch(stat_sums, {"vote_loss": 2.0}, loss)
     assert stat_sums["loss"] == 7.0
+
+
+def test_parity_report_da_suffix_aliasing(tmp_path):
+    """Ref DA/CR histories log source-domain components under plain
+    names (ref_loop accumulates ep_S); our DA drivers log them with a
+    _S suffix — the report must pair X_loss with X_loss_S."""
+    ref_dir, ours_dir = tmp_path / "ref", tmp_path / "ours"
+    ref_dir.mkdir()
+    ours_dir.mkdir()
+    (ref_dir / "history.jsonl").write_text(json.dumps(
+        {"epoch": 0, "loss": 40.0, "vote_loss": 2.0,
+         "jitter_loss": 0.5}))
+    (ours_dir / "metrics.jsonl").write_text(json.dumps(
+        {"step": 0, "loss": 38.0, "vote_loss_S": 1.0,
+         "jitter_loss_S": 1.0}))
+    report = parity_report.build_report(str(ref_dir), str(ours_dir))
+    assert report["components"] == [
+        {"epoch": 0, "vote_loss": 0.5, "jitter_loss": 2.0}]

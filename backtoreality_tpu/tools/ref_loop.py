@@ -510,9 +510,10 @@ def _main_groupfree(args):
     cfg_mod = importlib.import_module("model_util_scannet")
     sched_mod = importlib.import_module("lr_scheduler")
 
-    log_dir = pathlib.Path(args.log_dir)
+    log_dir = pathlib.Path(args.log_dir).resolve()
     log_dir.mkdir(parents=True, exist_ok=True)
     # the GF dataset loads from CWD-relative pickles — run in log_dir
+    # (resolve first so a relative --log_dir doesn't nest post-chdir)
     os.chdir(log_dir)
     ntr = _gf_fixture_pickle(ds_mod, args.data_root, "train")
     nva = _gf_fixture_pickle(
@@ -571,9 +572,9 @@ def _main_groupfree(args):
                                         gf_args)
 
     start_epoch = 0
-    if args.resume and pathlib.Path("checkpoint.tar").exists():
-        ckpt = torch.load("checkpoint.tar", map_location="cpu",
-                          weights_only=False)
+    if args.resume and (log_dir / "checkpoint.tar").exists():
+        ckpt = torch.load(log_dir / "checkpoint.tar",
+                          map_location="cpu", weights_only=False)
         net.load_state_dict(ckpt["model"])
         optimizer.load_state_dict(ckpt["optimizer"])
         scheduler.load_state_dict(ckpt["scheduler"])

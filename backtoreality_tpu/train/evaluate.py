@@ -60,6 +60,13 @@ def main(argv=None):
                          help="model graph the checkpoint was trained"
                               " with (BR -> da, CenterRefine ->"
                               " da_jitter); eval protocol is identical")
+        sub.add_argument("--train_data_root", default=None,
+                         help="train split for BN recalibration"
+                              " (--bn_recal_batches; required for"
+                              " faithful --bf16 checkpoint eval: the"
+                              " driver recalibrates stale BN stats"
+                              " before every in-loop eval)")
+        sub.add_argument("--recal_split", default="all")
         flags = sub.parse_args(rest)
         cfg = get_config(flags.dataset)
         model = vn_driver.build_model(flags, cfg, flags.kind)
@@ -72,6 +79,10 @@ def main(argv=None):
         sub = argparse.ArgumentParser()
         gf_driver.add_flags(sub)
         sub.add_argument("--split", default="val")
+        sub.add_argument("--train_data_root", default=None,
+                         help="train split for BN recalibration"
+                              " (--bn_recal_batches)")
+        sub.add_argument("--recal_split", default="all")
         flags = sub.parse_args(rest)
         cfg = get_config(flags.dataset)
         model = gf_driver.build_model(flags, cfg)
@@ -117,6 +128,60 @@ def main(argv=None):
     print(f"loaded checkpoint from epoch {epoch}")
     variables = replicate(
         {"params": params, "batch_stats": batch_stats}, mesh)
+
+    # BN recalibration (mirrors the drivers' pre-eval recal): bf16
+    # weight drift past the BN-momentum floor staleness-shifts frozen
+    # running stats, costing ~0.25 mAP on the 600-epoch fixture
+    # (RESULTS.md precision policy); standalone eval of such a
+    # checkpoint needs the same refresh from train-mode forwards.
+    recal_batches = getattr(flags, "bn_recal_batches", None)
+    if recal_batches is None:
+        recal_batches = 20 if getattr(flags, "bf16", False) else 0
+    if recal_batches > 0 and not flags.train_data_root:
+        print("warning: BN recalibration requested (or implied by"
+              " --bf16) but no --train_data_root given; evaluating"
+              " with the checkpoint's frozen BN stats")
+    elif recal_batches > 0:
+        recal_ds = DetectionDataset(
+            cfg, flags.train_data_root, split=flags.recal_split,
+            num_points=num_point, use_color=flags.use_color,
+            use_height=use_height, augment=True,
+            gf_labels=(pre.model == "groupfree"))
+        recal_loader = DetectionDataLoader(
+            recal_ds, flags.batch_size, shuffle=True, drop_last=True,
+            num_shards=jax.process_count(),
+            shard_index=jax.process_index())
+        bnm = jnp.asarray(0.2, jnp.float32)
+        drop_key = jax.random.PRNGKey(0)
+
+        @jax.jit
+        def recal(variables, *args):
+            if pre.model == "groupfree":
+                _, mut = model.apply(
+                    variables, *args, train=True, bn_momentum=bnm,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": drop_key})
+            else:
+                _, mut = model.apply(
+                    variables, *args, None, train=True,
+                    bn_momentum=bnm, mutable=["batch_stats"])
+            return mut["batch_stats"]
+
+        done = 0
+        recal_keys = ["point_clouds"] + (
+            ["center_label", "sem_cls_label"] if jitter_args else [])
+        while done < recal_batches:
+            for batch in recal_loader:
+                dev = shard_batch(
+                    {k: batch[k] for k in recal_keys}, mesh)
+                variables = {
+                    "params": variables["params"],
+                    "batch_stats": recal(
+                        variables, *(dev[k] for k in recal_keys))}
+                done += 1
+                if done >= recal_batches:
+                    break
+        print(f"recalibrated BN stats over {done} train batches")
 
     @jax.jit
     def forward(variables, *args):

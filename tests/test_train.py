@@ -197,3 +197,46 @@ def test_local_rows_tree_single_process():
     assert isinstance(out["a"], np.ndarray)
     np.testing.assert_array_equal(out["a"], np.arange(6).reshape(2, 3))
     np.testing.assert_array_equal(out["b"]["c"], np.ones((2, 2)))
+
+
+def test_evaluate_cli_with_bn_recal(tmp_path, capsys):
+    """End-to-end evaluate CLI: checkpoint load -> BN recalibration
+    from a train split -> multi-seed eval with mean +/- sigma. The
+    recal path is what makes standalone eval of --bf16 checkpoints
+    faithful to the drivers' in-loop protocol (RESULTS.md precision
+    policy: stale BN stats cost ~0.25 mAP on the 600-epoch fixture)."""
+    import argparse
+
+    from backtoreality_tpu.train import common, evaluate
+    from backtoreality_tpu.train import votenet as vn_driver
+
+    cfg = scannet_md40_config()
+    d = tmp_path / "scans"
+    write_synthetic_scans(d, cfg, num_scans=4, num_objects=3,
+                          points_per_object=300, floor_points=800,
+                          seed=0)
+
+    # build a fresh (untrained) checkpoint directly — the test targets
+    # evaluate.py, not the train loop
+    parser = vn_driver.add_common_flags(argparse.ArgumentParser())
+    flags = parser.parse_args(
+        ["--num_point", "1000", "--num_target", "16"])
+    model = vn_driver.build_model(flags, cfg)
+    optimizer = common.make_optimizer("adam", lr0=1e-3)
+    rng = jax.random.PRNGKey(0)
+    pts = jnp.zeros((1, 1000, 4), jnp.float32)
+    state = vn_driver.init_state(model, optimizer, (pts,), rng)
+    ckpt = tmp_path / "checkpoint.tar"
+    common.save_checkpoint(str(ckpt), state, epoch=0)
+
+    evaluate.main([
+        "--model", "votenet", "--eval_seeds", "2",
+        "--checkpoint_path", str(ckpt),
+        "--data_root", str(d), "--split", "all",
+        "--train_data_root", str(d), "--recal_split", "all",
+        "--bn_recal_batches", "2",
+        "--num_point", "1000", "--num_target", "16",
+        "--batch_size", "2", "--num_devices", "1"])
+    out = capsys.readouterr().out
+    assert "recalibrated BN stats over 2 train batches" in out
+    assert "+/-" in out  # multi-seed mean/sigma reporting

@@ -90,7 +90,7 @@ def _scene_point_clouds(cfg, b, n, rng):
     return clouds
 
 
-def _bench_votenet(cfg, mesh):
+def _bench_votenet(cfg, mesh, bf16=False):
     import jax
     import jax.numpy as jnp
 
@@ -109,8 +109,15 @@ def _bench_votenet(cfg, mesh):
     # end-to-end (600-epoch fixture: mAP 0.3547/AR 0.811 vs full-FPS
     # 0.3588/0.758 — within run variance; coverage 0.057 vs 0.062,
     # RESULTS.md), ~4 ms/step faster than exact full-cloud FPS.
-    model = build_model(_flags(num_target=256, fps_candidates=8192),
-                        cfg)
+    flags = _flags(num_target=256, fps_candidates=8192)
+    if bf16:
+        # the selective-precision throughput config: bf16 streams with
+        # the last 2 backbone stages + all heads in f32 (the
+        # classification-feature tail; see --f32_tail and the
+        # RESULTS.md precision-ladder study)
+        flags.bf16 = True
+        flags.f32_tail = 2
+    model = build_model(flags, cfg)
     optimizer = common.make_optimizer("adam", lr0=1e-3)
 
     rng_np = np.random.default_rng(0)
@@ -144,7 +151,8 @@ def _bench_votenet(cfg, mesh):
         assert np.isfinite(float(aux["loss"]))  # sync point
         return BATCH * iters / (time.perf_counter() - t0)
 
-    return timed(dev_batch), timed(uni_batch)
+    # the uniform-cloud cross-check only matters for the f32 headline
+    return timed(dev_batch), (None if bf16 else timed(uni_batch))
 
 
 def _bench_groupfree(cfg, mesh):
@@ -208,6 +216,12 @@ def main():
     cfg = scannet_md40_config()
     mesh = make_mesh(1)
     scenes_per_sec, uniform_sps = _bench_votenet(cfg, mesh)
+    try:
+        # secondary measurement: never let it redden the headline
+        bf16_sps, _ = _bench_votenet(cfg, mesh, bf16=True)
+    except Exception as e:  # pragma: no cover
+        print(f"bench: bf16 arm failed: {e!r}", file=sys.stderr)
+        bf16_sps = None
     gf_sps = _bench_groupfree(cfg, mesh)
     print(json.dumps({
         "metric": "votenet_fsb_train_scenes_per_sec_per_chip",
@@ -216,6 +230,10 @@ def main():
                 "scene-geometry clouds)",
         "vs_baseline": round(scenes_per_sec / BASELINE_SCENES_PER_SEC, 3),
         "uniform_random_value": round(uniform_sps, 3),
+        "bf16_value": (round(bf16_sps, 3) if bf16_sps is not None
+                       else None),
+        "bf16_unit": "scenes/s/chip, --bf16 --f32_tail 2 (bf16 "
+                     "streams, f32 classification tail + heads)",
         "groupfree_value": round(gf_sps, 3),
         "groupfree_unit": "scenes/s/chip (B=8, N=50000, 6 decoder "
                           "layers, fwd+bwd+opt)",

@@ -135,12 +135,21 @@ def main(argv=None):
     # (RESULTS.md precision policy); standalone eval of such a
     # checkpoint needs the same refresh from train-mode forwards.
     recal_batches = getattr(flags, "bn_recal_batches", None)
+    explicit_recal = recal_batches is not None
     if recal_batches is None:
         recal_batches = 20 if getattr(flags, "bf16", False) else 0
     if recal_batches > 0 and not flags.train_data_root:
-        print("warning: BN recalibration requested (or implied by"
-              " --bf16) but no --train_data_root given; evaluating"
-              " with the checkpoint's frozen BN stats")
+        if explicit_recal:
+            # An explicit --bn_recal_batches without the data to do it
+            # is a contradiction the user must resolve; silently
+            # falling back to frozen stats costs ~0.25 mAP on bf16
+            # checkpoints (RESULTS.md precision policy).
+            raise SystemExit(
+                "--bn_recal_batches > 0 requires --train_data_root"
+                " (recalibration draws train-mode batches)")
+        print("warning: BN recalibration implied by --bf16 but no"
+              " --train_data_root given; evaluating with the"
+              " checkpoint's frozen BN stats")
     elif recal_batches > 0:
         recal_ds = DetectionDataset(
             cfg, flags.train_data_root, split=flags.recal_split,
@@ -170,6 +179,13 @@ def main(argv=None):
         done = 0
         recal_keys = ["point_clouds"] + (
             ["center_label", "sem_cls_label"] if jitter_args else [])
+        if len(recal_loader) == 0:
+            # drop_last=True with fewer scans than batch_size yields an
+            # empty loader; the while-loop below would spin forever.
+            raise SystemExit(
+                f"BN recalibration loader is empty: {flags.train_data_root}"
+                f" split={flags.recal_split} has {len(recal_ds)} scans"
+                f" < batch_size {flags.batch_size}")
         while done < recal_batches:
             for batch in recal_loader:
                 dev = shard_batch(

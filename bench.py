@@ -197,6 +197,13 @@ def _bench_groupfree(cfg, mesh):
 
 
 def main():
+    # Serialize against builder workloads (tools/queue.sh): round 4's
+    # GF figure was captured 28% low while a training queue held the
+    # single-client tunnel. Bounded wait — a wedged queue must not
+    # redden the artifact of record.
+    from backtoreality_tpu.utils.tpu_lock import hold_for_process
+    hold_for_process("bench", timeout_s=2700.0)
+
     fail = wait_for_backend()
     if fail is not None:
         print(json.dumps({
@@ -216,12 +223,17 @@ def main():
     cfg = scannet_md40_config()
     mesh = make_mesh(1)
     scenes_per_sec, uniform_sps = _bench_votenet(cfg, mesh)
-    try:
-        # secondary measurement: never let it redden the headline
-        bf16_sps, _ = _bench_votenet(cfg, mesh, bf16=True)
-    except Exception as e:  # pragma: no cover
-        print(f"bench: bf16 arm failed: {e!r}", file=sys.stderr)
+    if "--skip_bf16" in sys.argv:
+        # quick headline recapture: the bf16 arm costs a second full
+        # remote-AOT compile (~10 min on this host, no persistent cache)
         bf16_sps = None
+    else:
+        try:
+            # secondary measurement: never let it redden the headline
+            bf16_sps, _ = _bench_votenet(cfg, mesh, bf16=True)
+        except Exception as e:  # pragma: no cover
+            print(f"bench: bf16 arm failed: {e!r}", file=sys.stderr)
+            bf16_sps = None
     gf_sps = _bench_groupfree(cfg, mesh)
     print(json.dumps({
         "metric": "votenet_fsb_train_scenes_per_sec_per_chip",
@@ -232,8 +244,9 @@ def main():
         "uniform_random_value": round(uniform_sps, 3),
         "bf16_value": (round(bf16_sps, 3) if bf16_sps is not None
                        else None),
-        "bf16_unit": "scenes/s/chip, --bf16 --f32_tail 2 (bf16 "
-                     "streams, f32 classification tail + heads)",
+        "bf16_unit": ("scenes/s/chip, --bf16 --f32_tail 2 (bf16 "
+                      "streams, f32 classification tail + heads)"
+                      if bf16_sps is not None else None),
         "groupfree_value": round(gf_sps, 3),
         "groupfree_unit": "scenes/s/chip (B=8, N=50000, 6 decoder "
                           "layers, fwd+bwd+opt)",

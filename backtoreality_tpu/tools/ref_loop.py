@@ -16,13 +16,21 @@ Supported reference loops:
   --model votenet --recipe wsb   `train_Votenet_WSB.py:147-232`
                                  (votenet_weak + get_loss_weak,
                                  center-jittered labels)
+  --model votenet --recipe br    `train_Votenet_BR.py:267-341`
+                                 (VoteNet_DA + get_loss_DA, virtual
+                                 full-label SOURCE loader + weak
+                                 jittered TARGET loader, length-aware
+                                 zip/cycle)
   --model votenet --recipe cr    `train_Votenet_BR_CenterRefine.py:
                                  213-273` (VoteNet_DA_jitter +
                                  get_loss_DA_jitter, two loaders,
                                  zip(S, cycle(T)))
-  --model groupfree              `train_GF_FSB.py:223-351` (AdamW
+  --model groupfree --recipe fsb `train_GF_FSB.py:223-351` (AdamW
                                  dual-LR groups, per-iteration
                                  scheduler, clip_grad_norm 0.1)
+  --model groupfree --recipe wsb `train_GF_WSB.py:157-218` (same
+                                 harness, center-jittered dataset +
+                                 get_loss_weak)
 
 Every epoch row in history.jsonl carries the PER-COMPONENT loss means
 (vote/objectness/center/sem_cls/...) so ours-vs-ref drift can be
@@ -162,13 +170,13 @@ def add_flags(parser: argparse.ArgumentParser):
     parser.add_argument("--model", default="votenet",
                         choices=["votenet", "groupfree"])
     parser.add_argument("--recipe", default="fsb",
-                        choices=["fsb", "wsb", "cr"],
-                        help="votenet loop variant (groupfree is FSB)")
+                        choices=["fsb", "wsb", "br", "cr"],
+                        help="loop variant (groupfree supports fsb/wsb)")
     parser.add_argument("--data_root", required=True,
                         help="fixture dir with *_vert.npy quadruples"
-                             " (the TARGET domain for --recipe cr)")
+                             " (the TARGET domain for --recipe br/cr)")
     parser.add_argument("--source_data_root", default=None,
-                        help="cr: SOURCE (virtual) domain fixture dir")
+                        help="br/cr: SOURCE (virtual) domain fixture dir")
     parser.add_argument("--val_data_root", default=None)
     parser.add_argument("--log_dir", required=True)
     parser.add_argument("--num_point", type=int, default=2500)
@@ -216,6 +224,9 @@ def main(argv=None):
     np.random.seed(args.seed)
 
     if args.model == "groupfree":
+        assert args.recipe in ("fsb", "wsb"), (
+            "groupfree ref loops: fsb (train_GF_FSB.py) / wsb "
+            "(train_GF_WSB.py)")
         return _main_groupfree(args)
     return _main_votenet(args)
 
@@ -274,21 +285,27 @@ def _main_votenet(args):
     val_loader = DataLoader(val_ds, batch_size=args.batch_size,
                             shuffle=False, num_workers=0)
     loader_S = None
-    if args.recipe == "cr":
-        assert args.source_data_root, "--recipe cr needs --source_data_root"
-        # `train_Votenet_BR_CenterRefine.py:153-156`: the SOURCE loader
-        # is the virtual (train_aug) domain, also center-jittered
+    if args.recipe in ("br", "cr"):
+        assert args.source_data_root, (
+            f"--recipe {args.recipe} needs --source_data_root")
+        # SOURCE loader = the virtual (train_aug) domain. CR jitters it
+        # (`train_Votenet_BR_CenterRefine.py:153-156`); BR trains the
+        # source with its FULL exact labels — `train_Votenet_BR.py:
+        # 165-167` passes no center_jitter.
+        src_jitter = args.center_jitter if args.recipe == "cr" else 0.0
         train_ds_S = ds_mod.ScannetDetectionDataset(
             "all", os.path.abspath(args.source_data_root),
             num_points=args.num_point, augment=True, use_height=True,
-            center_jitter=args.center_jitter)
-        # the reference ALWAYS fresh-draws the virtual domain's jitter
-        # at the requested magnitude (`scannet_detection_dataset.py:
-        # 83-84`, keyed on 'obj' in the hard-coded data path); fixture
-        # paths don't carry that marker, so apply the same draw here
-        train_ds_S.delta = (np.random.rand(
-            len(train_ds_S), train_ds_S.delta.shape[1], 3) - 0.5
-        ) * args.center_jitter
+            center_jitter=src_jitter)
+        if src_jitter:
+            # the reference ALWAYS fresh-draws the virtual domain's
+            # jitter at the requested magnitude
+            # (`scannet_detection_dataset.py:83-84`, keyed on 'obj' in
+            # the hard-coded data path); fixture paths don't carry that
+            # marker, so apply the same draw here
+            train_ds_S.delta = (np.random.rand(
+                len(train_ds_S), train_ds_S.delta.shape[1], 3) - 0.5
+            ) * src_jitter
         loader_S = DataLoader(train_ds_S, batch_size=args.batch_size,
                               shuffle=True, num_workers=0,
                               drop_last=True)
@@ -309,6 +326,11 @@ def _main_votenet(args):
         # `train_Votenet_WSB.py:147-170`: model file votenet_weak
         mod = importlib.import_module("votenet_weak")
         net, criterion = mod.VoteNet(**model_kwargs), mod.get_loss_weak
+    elif args.recipe == "br":
+        # `train_Votenet_BR.py:202-231`
+        mod = importlib.import_module("votenet_DA")
+        net = mod.VoteNet_DA(**model_kwargs)
+        criterion = mod.get_loss_DA
     else:  # cr
         mod = importlib.import_module("votenet_DA")
         net = mod.VoteNet_DA_jitter(**model_kwargs)
@@ -405,6 +427,26 @@ def _main_votenet(args):
                 optimizer.step()
                 _accumulate_batch(stat_sums, ep_S, loss)
                 nb += 1
+        elif args.recipe == "br":
+            # `train_Votenet_BR.py:267-289`: length-aware cycle of the
+            # shorter loader, plain forwards, get_loss_DA(S, T)
+            if len(loader_S) < len(train_loader):
+                pairs = zip(itertools.cycle(loader_S), train_loader)
+            else:
+                pairs = zip(loader_S, itertools.cycle(train_loader))
+            for batch_S, batch_T in pairs:
+                optimizer.zero_grad()
+                ep_S = net({"point_clouds": batch_S["point_clouds"]})
+                ep_T = net({"point_clouds": batch_T["point_clouds"]})
+                for k in batch_S:
+                    ep_S[k] = batch_S[k]
+                for k in batch_T:
+                    ep_T[k] = batch_T[k]
+                loss, ep_S, _ = criterion(ep_S, ep_T, DC)
+                loss.backward()
+                optimizer.step()
+                _accumulate_batch(stat_sums, ep_S, loss)
+                nb += 1
         else:
             for batch in train_loader:
                 optimizer.zero_grad()
@@ -436,9 +478,14 @@ def _main_votenet(args):
                           if args.recipe == "cr" else ()))
                 for key in batch:
                     end_points[key] = batch[key]
-                if args.recipe == "cr":
-                    # the CR driver evals with the weak criterion on
-                    # the target domain (our driver mirrors this)
+                if args.recipe in ("br", "cr"):
+                    # eval the TARGET domain with the weak criterion —
+                    # the quantity our DA drivers track. (The
+                    # reference's own BR eval runs get_loss_DA over
+                    # paired S/T val loaders and writes the TARGET mAP
+                    # to Eval_mAP.txt, `train_Votenet_BR.py:305-355`;
+                    # target mAP/AR here is that same headline, the
+                    # logged eval_loss differs by the criterion.)
                     wmod = sys.modules.get("votenet_weak")
                     if wmod is None:
                         import importlib as _il
@@ -521,9 +568,25 @@ def _main_groupfree(args):
     print(f"fixture scans: train {ntr}, val {nva}", flush=True)
 
     DC = cfg_mod.ScannetDatasetConfig_md40()
+    jitter = args.center_jitter if args.recipe == "wsb" else 0
+    if jitter:
+        # `train_GF_WSB.py:157-159`: weak centers via the frozen
+        # annotation-error table, loaded from a CWD-relative path
+        # (GF `scannet_detection_dataset.py:131`); we already chdir'd
+        # to log_dir — link the reference's own table in
+        link = pathlib.Path("scannet/annotation_error.npy")
+        link.parent.mkdir(exist_ok=True)
+        if not link.exists():
+            link.symlink_to(REF_GF / "scannet" / "annotation_error.npy")
     train_ds = ds_mod.ScannetDetectionDataset(
         "train", "scannet_train_detection_data_md40",
-        num_points=args.num_point, augment=True, use_height=True)
+        num_points=args.num_point, augment=True, use_height=True,
+        center_jitter=jitter)
+    if jitter and abs(jitter - 0.1) > 1e-9:
+        # frozen table is fixed at the benchmark 0.1 magnitude (same
+        # bypass as the votenet recipes)
+        train_ds.delta = (np.random.rand(
+            len(train_ds), train_ds.delta.shape[1], 3) - 0.5) * jitter
     val_ds = ds_mod.ScannetDetectionDataset(
         "val", "scannet_train_detection_data_md40",
         num_points=args.num_point, augment=False, use_height=True)
@@ -547,7 +610,10 @@ def _main_groupfree(args):
         dim_feedforward=args.dim_feedforward,
         self_position_embedding="loc_learned",
         cross_position_embedding="xyz_learned")
-    criterion = loss_mod.get_loss
+    # `train_GF_WSB.py:217`: the weak recipe swaps ONLY the criterion
+    # (train and eval both); model/optimizer/scheduler are FSB's
+    criterion = (loss_mod.get_loss_weak if args.recipe == "wsb"
+                 else loss_mod.get_loss)
     decoder_lr = (args.decoder_learning_rate
                   if args.decoder_learning_rate is not None
                   else args.learning_rate / 10.0)

@@ -152,6 +152,25 @@ def _convbn_stack_with_out(sd, convs, bns, out_conv):
     return params, stats
 
 
+def votenet_da_state_dict(sd):
+    """Reference `VoteNet_DA` state_dict (`votenet_DA.py:47-176`, the
+    BR-stage model) -> (flax params, batch_stats) for
+    models.votenet.VoteNetDA: the plain VoteNet tree plus the
+    global/local domain discriminators (`votenet_DA.py:90-120`)."""
+    params, stats = votenet_state_dict(sd)
+    p, s = _convbn_stack(sd, ["global_netD1.0", "global_netD1.3"],
+                         ["global_netD1.1", "global_netD1.4"])
+    params["da_heads"] = {"global_netD1": p,
+                          "global_netD2": _dense(sd, "global_netD2")}
+    stats["da_heads"] = {"global_netD1": s}
+    p, s = _convbn_stack_with_out(
+        sd, ["local_netD.0", "local_netD.3"],
+        ["local_netD.1", "local_netD.4"], "local_netD.6")
+    params["da_heads"]["local_netD"] = p
+    stats["da_heads"]["local_netD"] = s
+    return params, stats
+
+
 def votenet_da_jitter_state_dict(sd):
     """Reference `VoteNet_DA_jitter` state_dict
     (`votenet_DA.py:179-332`) -> (flax params, batch_stats) for
@@ -368,6 +387,8 @@ def import_checkpoint(path, model: str, out, nhead=8):
     try:
         if model == "votenet":
             params, stats = votenet_state_dict(sd)
+        elif model == "votenet_da":
+            params, stats = votenet_da_state_dict(sd)
         elif model == "votenet_da_jitter":
             params, stats = votenet_da_jitter_state_dict(sd)
         elif model == "groupfree":
@@ -400,7 +421,8 @@ def main(argv=None):
                     "framework's msgpack format")
     parser.add_argument("checkpoint", help="torch .tar/.pth file")
     parser.add_argument("--model", required=True,
-                        choices=["votenet", "votenet_da_jitter", "groupfree"])
+                        choices=["votenet", "votenet_da", "votenet_da_jitter",
+                                 "groupfree"])
     parser.add_argument("--out", required=True)
     parser.add_argument("--nhead", type=int, default=8)
     args = parser.parse_args(argv)

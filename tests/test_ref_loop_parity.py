@@ -190,3 +190,60 @@ def test_ref_loop_cr_recipe(tmp_path):
     import_main([str(log_dir / "checkpoint.tar"), "--model",
                  "votenet_da_jitter",
                  "--out", str(tmp_path / "cr_imported.tar")])
+
+
+def test_ref_loop_br_recipe(tmp_path):
+    """The BR reference loop (`train_Votenet_BR.py:267-341`: VoteNet_DA,
+    full-label virtual SOURCE + weak jittered TARGET, get_loss_DA) runs;
+    its checkpoint imports via the new votenet_da converter."""
+    import json as _json
+
+    from backtoreality_tpu.tools import ref_loop
+
+    real = _fixture(tmp_path)
+    virtual = _fixture(tmp_path, aug=True)
+    log_dir = tmp_path / "br_log"
+    ref_loop.main([
+        "--recipe", "br", "--center_jitter", "0.5",
+        "--source_data_root", str(virtual), "--data_root", str(real),
+        "--log_dir", str(log_dir), "--num_point", "1200",
+        "--num_target", "16", "--max_epoch", "1", "--eval_freq", "1",
+        "--batch_size", "4"])
+    hist = [_json.loads(line) for line in
+            (log_dir / "history.jsonl").read_text().splitlines()]
+    assert len(hist) == 1
+    row = hist[0]
+    assert np.isfinite(row["loss"])
+    # DA components logged from end_points_S (loss_helper.py:578-662)
+    assert "vote_loss" in row and "obj_acc" in row
+    assert "mAP" in row  # target-domain eval
+    from backtoreality_tpu.tools.torch_import import main as import_main
+
+    import_main([str(log_dir / "checkpoint.tar"), "--model",
+                 "votenet_da", "--out", str(tmp_path / "br_imported.tar")])
+
+
+def test_ref_loop_groupfree_wsb_recipe(tmp_path):
+    """The GF weak reference loop (`train_GF_WSB.py:157-218`:
+    center-jittered dataset + get_loss_weak, FSB harness otherwise)."""
+    import json as _json
+
+    from backtoreality_tpu.tools import ref_loop
+
+    d = _fixture(tmp_path)
+    log_dir = tmp_path / "gf_wsb_log"
+    ref_loop.main([
+        "--model", "groupfree", "--recipe", "wsb",
+        "--center_jitter", "0.5", "--data_root", str(d),
+        "--log_dir", str(log_dir), "--num_point", "1200",
+        "--num_target", "16", "--max_epoch", "1", "--eval_freq", "1",
+        "--batch_size", "4", "--num_decoder_layers", "2",
+        "--dim_feedforward", "64"])
+    hist = [_json.loads(line) for line in
+            (log_dir / "history.jsonl").read_text().splitlines()]
+    assert len(hist) == 1
+    row = hist[0]
+    assert np.isfinite(row["loss"]) and "eval_loss" in row
+    # weak criterion writes the weak KPS term
+    # (GF loss_helper.py:567-571)
+    assert "query_points_generation_loss" in row

@@ -476,12 +476,16 @@ def _train_loop_da(flags, recipe):
     mesh = make_mesh(flags.num_devices)
     jitter_model = recipe == "br_center_refine"
 
+    # CenterRefine jitters the SOURCE labels too
+    # (`train_Votenet_BR_CenterRefine.py:152-154` passes center_jitter
+    # to the train_aug dataset); BR trains the source with its FULL
+    # exact labels (`train_Votenet_BR.py:165-167` passes none).
     train_ds_S = DetectionDataset(
         cfg, flags.source_data_root, split="train_aug",
         num_points=flags.num_point, use_color=flags.use_color,
         use_height=not flags.no_height, augment=True,
-        center_jitter=flags.center_jitter, seed=flags.seed,
-        **_cache_kw(flags))
+        center_jitter=flags.center_jitter if jitter_model else 0.0,
+        seed=flags.seed, **_cache_kw(flags))
     train_ds_T = DetectionDataset(
         cfg, flags.data_root, split=flags.train_split,
         num_points=flags.num_point, use_color=flags.use_color,

@@ -19,6 +19,10 @@ NAME="$1"; shift
 OUT="/tmp/q_${NAME}.out"
 {
   echo "QUEUE ${NAME} waiting for ${LOCK} $(date -u +%H:%M:%S)"
+  # the wrapped command already runs under this flock: mark it so
+  # bench.py / __graft_entry__'s own hold_for_process() no-ops instead
+  # of deadlocking against the wrapper
+  export BTR_TPU_LOCK_HELD=1
   flock "${LOCK}" -c "$(printf '%q ' "$@")"
   rc=$?
   echo "QUEUE ${NAME} rc=${rc} $(date -u)"

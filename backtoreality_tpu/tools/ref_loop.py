@@ -31,6 +31,11 @@ Supported reference loops:
   --model groupfree --recipe wsb `train_GF_WSB.py:157-218` (same
                                  harness, center-jittered dataset +
                                  get_loss_weak)
+  --model groupfree --recipe br  `train_GF_BR.py:290-383`
+                                 (GroupFreeDetector_DA + get_loss_DA,
+                                 full-label SOURCE loader +
+                                 weak jittered TARGET loader,
+                                 zip(S, cycle(T)))
 
 Every epoch row in history.jsonl carries the PER-COMPONENT loss means
 (vote/objectness/center/sem_cls/...) so ours-vs-ref drift can be
@@ -224,9 +229,9 @@ def main(argv=None):
     np.random.seed(args.seed)
 
     if args.model == "groupfree":
-        assert args.recipe in ("fsb", "wsb"), (
+        assert args.recipe in ("fsb", "wsb", "br"), (
             "groupfree ref loops: fsb (train_GF_FSB.py) / wsb "
-            "(train_GF_WSB.py)")
+            "(train_GF_WSB.py) / br (train_GF_BR.py)")
         return _main_groupfree(args)
     return _main_votenet(args)
 
@@ -523,7 +528,8 @@ def _main_votenet(args):
 # --------------------------------------------------------------------
 
 
-def _gf_fixture_pickle(ds_mod, fixture_dir, split_tag):
+def _gf_fixture_pickle(ds_mod, fixture_dir, split_tag,
+                       suffix="_data_md40"):
     """The GF dataset RAM-caches scans in a pickle keyed by data_path
     (`scannet_detection_dataset.py:50-126`) and only accepts the
     reference's hard-coded data_path names. Pre-build that pickle from
@@ -539,7 +545,7 @@ def _gf_fixture_pickle(ds_mod, fixture_dir, split_tag):
         quads[1].append(np.load(fixture / f"{name}_ins_label.npy"))
         quads[2].append(np.load(fixture / f"{name}_sem_label.npy"))
         quads[3].append(np.load(fixture / f"{name}_bbox.npy"))
-    out = pathlib.Path(f"scannet/{split_tag}_data_md40.pkl")
+    out = pathlib.Path(f"scannet/{split_tag}{suffix}.pkl")
     out.parent.mkdir(parents=True, exist_ok=True)
     with open(out, "wb") as f:
         pickle.dump(quads, f)
@@ -568,7 +574,10 @@ def _main_groupfree(args):
     print(f"fixture scans: train {ntr}, val {nva}", flush=True)
 
     DC = cfg_mod.ScannetDatasetConfig_md40()
-    jitter = args.center_jitter if args.recipe == "wsb" else 0
+    # br: the TARGET domain trains on weak (jittered) centers exactly
+    # like wsb (`train_GF_BR.py:173-175`); the SOURCE keeps full labels
+    jitter = (args.center_jitter if args.recipe in ("wsb", "br")
+              else 0)
     if jitter:
         # `train_GF_WSB.py:157-159`: weak centers via the frozen
         # annotation-error table, loaded from a CWD-relative path
@@ -595,9 +604,33 @@ def _main_groupfree(args):
                               drop_last=True)
     val_loader = DataLoader(val_ds, batch_size=args.batch_size,
                             shuffle=False, num_workers=0)
+    loader_S = None
+    if args.recipe == "br":
+        assert args.source_data_root, "--recipe br needs --source_data_root"
+        # SOURCE = the virtual (train_aug/obj_mesh_aug) domain with its
+        # FULL exact labels — `train_GF_BR.py:165-170` passes no
+        # center_jitter. The hard-coded data_path maps to the
+        # 'train_aug_data_md40_obj_aug.pkl' cache name
+        # (`scannet_detection_dataset.py:60-61`).
+        nsrc = _gf_fixture_pickle(ds_mod, args.source_data_root,
+                                  "train_aug",
+                                  suffix="_data_md40_obj_aug")
+        print(f"fixture scans: source {nsrc}", flush=True)
+        train_ds_S = ds_mod.ScannetDetectionDataset(
+            "train_aug", "scannet_train_detection_data_md40_obj_mesh_aug",
+            num_points=args.num_point, augment=True, use_height=True)
+        loader_S = DataLoader(train_ds_S, batch_size=args.batch_size,
+                              shuffle=True, num_workers=0,
+                              drop_last=True)
 
     # `train_GF_FSB.py:198-219`
-    net = detector_mod.GroupFreeDetector(
+    model_cls = detector_mod.GroupFreeDetector
+    if args.recipe == "br":
+        # `train_GF_BR.py:236-258`: the BR recipe swaps in the DA
+        # detector (GRL global/local discriminators on the decoder)
+        da_mod = importlib.import_module("gfmodels_det.detector_DA")
+        model_cls = da_mod.GroupFreeDetector_DA
+    net = model_cls(
         num_class=DC.num_class,
         num_heading_bin=DC.num_heading_bin,
         num_size_cluster=DC.num_size_cluster,
@@ -611,9 +644,19 @@ def _main_groupfree(args):
         self_position_embedding="loc_learned",
         cross_position_embedding="xyz_learned")
     # `train_GF_WSB.py:217`: the weak recipe swaps ONLY the criterion
-    # (train and eval both); model/optimizer/scheduler are FSB's
-    criterion = (loss_mod.get_loss_weak if args.recipe == "wsb"
-                 else loss_mod.get_loss)
+    # (train and eval both); model/optimizer/scheduler are FSB's.
+    # br trains with get_loss_DA (`train_GF_BR.py:255`).
+    criterion = {"wsb": loss_mod.get_loss_weak,
+                 "br": loss_mod.get_loss_DA}.get(args.recipe,
+                                                 loss_mod.get_loss)
+    # eval convention matches the votenet recipes: DA recipes score the
+    # TARGET domain with the weak criterion (the reference's own BR
+    # eval runs get_loss_DA over paired S/T val loaders and reports the
+    # TARGET mAP, `train_GF_BR.py:395-480`; target mAP/AR here is that
+    # same headline, the logged eval_loss differs by the criterion)
+    eval_criterion = (loss_mod.get_loss_weak
+                      if args.recipe in ("wsb", "br")
+                      else loss_mod.get_loss)
     decoder_lr = (args.decoder_learning_rate
                   if args.decoder_learning_rate is not None
                   else args.learning_rate / 10.0)
@@ -674,21 +717,46 @@ def _main_groupfree(args):
         stat_sums = {}
         nb = 0
         t0 = time.time()
-        for batch in train_loader:
-            end_points = net({"point_clouds": batch["point_clouds"]})
-            for key in batch:
-                assert key not in end_points
-                end_points[key] = batch[key]
-            loss, end_points = criterion(end_points, DC, **loss_kwargs)
-            optimizer.zero_grad()
-            loss.backward()
-            if args.clip_norm > 0:
-                torch.nn.utils.clip_grad_norm_(net.parameters(),
-                                               args.clip_norm)
-            optimizer.step()
-            scheduler.step()
-            _accumulate_batch(stat_sums, end_points, loss)
-            nb += 1
+        if args.recipe == "br":
+            # `train_GF_BR.py:317-360`: SOURCE loader drives the epoch,
+            # TARGET cycles; stats accumulate from the TARGET end_points
+            pairs = zip(loader_S, itertools.cycle(train_loader))
+            for batch_S, batch_T in pairs:
+                ep_S = net({"point_clouds": batch_S["point_clouds"]})
+                ep_T = net({"point_clouds": batch_T["point_clouds"]})
+                for k in batch_S:
+                    ep_S[k] = batch_S[k]
+                for k in batch_T:
+                    ep_T[k] = batch_T[k]
+                loss, _, ep_T = criterion(ep_S, ep_T, DC,
+                                          **loss_kwargs)
+                optimizer.zero_grad()
+                loss.backward()
+                if args.clip_norm > 0:
+                    torch.nn.utils.clip_grad_norm_(net.parameters(),
+                                                   args.clip_norm)
+                optimizer.step()
+                scheduler.step()
+                _accumulate_batch(stat_sums, ep_T, loss)
+                nb += 1
+        else:
+            for batch in train_loader:
+                end_points = net(
+                    {"point_clouds": batch["point_clouds"]})
+                for key in batch:
+                    assert key not in end_points
+                    end_points[key] = batch[key]
+                loss, end_points = criterion(end_points, DC,
+                                             **loss_kwargs)
+                optimizer.zero_grad()
+                loss.backward()
+                if args.clip_norm > 0:
+                    torch.nn.utils.clip_grad_norm_(net.parameters(),
+                                                   args.clip_norm)
+                optimizer.step()
+                scheduler.step()
+                _accumulate_batch(stat_sums, end_points, loss)
+                nb += 1
         rec = {"epoch": epoch, **_epoch_stats(stat_sums, nb),
                "lr": float(optimizer.param_groups[0]["lr"]),
                "lr_decoder": float(optimizer.param_groups[1]["lr"]),
@@ -708,8 +776,8 @@ def _main_groupfree(args):
                         {"point_clouds": batch["point_clouds"]})
                 for key in batch:
                     end_points[key] = batch[key]
-                loss, end_points = criterion(end_points, DC,
-                                             **loss_kwargs)
+                loss, end_points = eval_criterion(end_points, DC,
+                                                  **loss_kwargs)
                 eval_losses.append(float(loss.item()))
                 ap_calc.step(
                     ap_mod.parse_predictions(end_points, config_dict,

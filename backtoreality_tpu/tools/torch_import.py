@@ -353,6 +353,26 @@ def groupfree_state_dict(sd, nhead=8, d_model=288, num_layers=None):
     return params, stats
 
 
+def groupfree_da_state_dict(sd, nhead=8):
+    """Reference `GroupFreeDetector_DA` state_dict
+    (`detector_DA.py:56-185`, the GF BR-stage model) -> (params,
+    batch_stats) for models.groupfree.da: the plain GF tree plus the
+    global/decoder-local domain discriminators
+    (`detector_DA.py:169-189`)."""
+    params, stats = groupfree_state_dict(sd, nhead=nhead)
+    p, s = _convbn_stack(sd, ["global_netD1.0", "global_netD1.3"],
+                         ["global_netD1.1", "global_netD1.4"])
+    params["da_heads"] = {"global_netD1": p,
+                          "global_netD2": _dense(sd, "global_netD2")}
+    stats["da_heads"] = {"global_netD1": s}
+    p, s = _convbn_stack_with_out(
+        sd, ["decoder_netD.0", "decoder_netD.3"],
+        ["decoder_netD.1", "decoder_netD.4"], "decoder_netD.6")
+    params["da_heads"]["decoder_netD"] = p
+    stats["da_heads"]["decoder_netD"] = s
+    return params, stats
+
+
 # ---------------------------------------------------------------------------
 # Checkpoint-level import
 # ---------------------------------------------------------------------------
@@ -393,6 +413,8 @@ def import_checkpoint(path, model: str, out, nhead=8):
             params, stats = votenet_da_jitter_state_dict(sd)
         elif model == "groupfree":
             params, stats = groupfree_state_dict(sd, nhead=nhead)
+        elif model == "groupfree_da":
+            params, stats = groupfree_da_state_dict(sd, nhead=nhead)
         else:
             raise ValueError(f"unknown model {model!r}")
     except KeyError as e:
@@ -422,7 +444,7 @@ def main(argv=None):
     parser.add_argument("checkpoint", help="torch .tar/.pth file")
     parser.add_argument("--model", required=True,
                         choices=["votenet", "votenet_da", "votenet_da_jitter",
-                                 "groupfree"])
+                                 "groupfree", "groupfree_da"])
     parser.add_argument("--out", required=True)
     parser.add_argument("--nhead", type=int, default=8)
     args = parser.parse_args(argv)

@@ -13,6 +13,13 @@ COMMON="--data_root /tmp/shapefix/train --val_data_root /tmp/shapefix/val \
   --batch_size 8 --rng_seed 0 --guard_every_steps 0 --use_height"
 run() {
   name=$1; shift
+  # end-of-round guard: never START an arm so late it could still be
+  # holding the TPU flock when the driver's bench/dryrun captures run
+  # (round-4 lesson: self-contention degraded the artifacts of record)
+  if [ "$(date -u +%s)" -ge 1787136600 ]; then
+    echo "=== gf arm $name SKIPPED (past 10:50Z cutoff) ==="
+    return
+  fi
   timeout 5400 python -m backtoreality_tpu.train.gf_fsb \
     $COMMON --log_dir /tmp/r5_gflad_$name "$@" > /tmp/r5_gflad_$name.out 2>&1
   echo "=== gf arm $name rc=$? ==="

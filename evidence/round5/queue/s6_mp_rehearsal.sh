@@ -4,6 +4,11 @@
 # 12 heading bins, to measure the 256-proposal-slot eval cost.
 cd /root/repo
 set -x
+# end-of-round guard (see s5): don't start past 11:00Z
+if [ "$(date -u +%s)" -ge 1787137200 ]; then
+  echo "S6 MP REHEARSAL SKIPPED (past 11:00Z cutoff)"
+  exit 0
+fi
 timeout 5400 python -m backtoreality_tpu.train.votenet_fsb \
   --dataset matterport_md40 \
   --data_root /tmp/mp_rehearsal/train --val_data_root /tmp/mp_rehearsal/val \

@@ -5,6 +5,11 @@
 # the weak/DA recipes.
 cd /root/repo
 set -x
+# end-of-round guard (see s5): don't start past 11:00Z
+if [ "$(date -u +%s)" -ge 1787137200 ]; then
+  echo "S7 BR BF16 SKIPPED (past 11:00Z cutoff)"
+  exit 0
+fi
 COMMON="--data_root /tmp/br/real --source_data_root /tmp/br/virtual \
   --val_data_root /tmp/br/val --train_split all --val_split all \
   --num_point 1500 --num_target 16 --batch_size 8 \

@@ -223,6 +223,41 @@ def test_ref_loop_br_recipe(tmp_path):
                  "votenet_da", "--out", str(tmp_path / "br_imported.tar")])
 
 
+def test_ref_loop_groupfree_br_recipe(tmp_path):
+    """The GF BR reference loop (`train_GF_BR.py:290-383`:
+    GroupFreeDetector_DA, full-label SOURCE + weak jittered TARGET,
+    get_loss_DA over zip(S, cycle(T))); its checkpoint imports via the
+    groupfree_da converter."""
+    import json as _json
+
+    from backtoreality_tpu.tools import ref_loop
+
+    real = _fixture(tmp_path)
+    virtual = _fixture(tmp_path, aug=True)
+    log_dir = tmp_path / "gf_br_log"
+    ref_loop.main([
+        "--model", "groupfree", "--recipe", "br",
+        "--center_jitter", "0.5",
+        "--source_data_root", str(virtual), "--data_root", str(real),
+        "--log_dir", str(log_dir), "--num_point", "1200",
+        "--num_target", "16", "--max_epoch", "1", "--eval_freq", "1",
+        "--batch_size", "4", "--num_decoder_layers", "2",
+        "--dim_feedforward", "64"])
+    hist = [_json.loads(line) for line in
+            (log_dir / "history.jsonl").read_text().splitlines()]
+    assert len(hist) == 1
+    row = hist[0]
+    assert np.isfinite(row["loss"])
+    # stats accumulate from the TARGET end_points (train_GF_BR.py:364)
+    assert "last_center_loss" in row and "query_points_generation_loss" in row
+    assert "mAP" in row  # target-domain eval
+    from backtoreality_tpu.tools.torch_import import main as import_main
+
+    import_main([str(log_dir / "checkpoint.tar"), "--model",
+                 "groupfree_da", "--out",
+                 str(tmp_path / "gf_br_imported.tar")])
+
+
 def test_ref_loop_groupfree_wsb_recipe(tmp_path):
     """The GF weak reference loop (`train_GF_WSB.py:157-218`:
     center-jittered dataset + get_loss_weak, FSB harness otherwise)."""

@@ -36,6 +36,12 @@ Supported reference loops:
                                  full-label SOURCE loader +
                                  weak jittered TARGET loader,
                                  zip(S, cycle(T)))
+  --model groupfree --recipe cr  `train_GF_BR_CenterRefine.py:290-365`
+                                 (GroupFreeDetector_DA_jitter +
+                                 get_loss_DA_jitter, BOTH domains
+                                 jittered, center/sem labels fed to
+                                 the train forward, 1-based epoch
+                                 ramp, double-forward BN quirk)
 
 Every epoch row in history.jsonl carries the PER-COMPONENT loss means
 (vote/objectness/center/sem_cls/...) so ours-vs-ref drift can be
@@ -229,9 +235,10 @@ def main(argv=None):
     np.random.seed(args.seed)
 
     if args.model == "groupfree":
-        assert args.recipe in ("fsb", "wsb", "br"), (
+        assert args.recipe in ("fsb", "wsb", "br", "cr"), (
             "groupfree ref loops: fsb (train_GF_FSB.py) / wsb "
-            "(train_GF_WSB.py) / br (train_GF_BR.py)")
+            "(train_GF_WSB.py) / br (train_GF_BR.py) / cr "
+            "(train_GF_BR_CenterRefine.py)")
         return _main_groupfree(args)
     return _main_votenet(args)
 
@@ -574,9 +581,11 @@ def _main_groupfree(args):
     print(f"fixture scans: train {ntr}, val {nva}", flush=True)
 
     DC = cfg_mod.ScannetDatasetConfig_md40()
-    # br: the TARGET domain trains on weak (jittered) centers exactly
-    # like wsb (`train_GF_BR.py:173-175`); the SOURCE keeps full labels
-    jitter = (args.center_jitter if args.recipe in ("wsb", "br")
+    # br/cr: the TARGET domain trains on weak (jittered) centers
+    # exactly like wsb (`train_GF_BR.py:173-175`,
+    # `train_GF_BR_CenterRefine.py:170-172`); br's SOURCE keeps full
+    # labels, cr's SOURCE is jittered too (fresh draw, handled below)
+    jitter = (args.center_jitter if args.recipe in ("wsb", "br", "cr")
               else 0)
     if jitter:
         # `train_GF_WSB.py:157-159`: weak centers via the frozen
@@ -605,12 +614,17 @@ def _main_groupfree(args):
     val_loader = DataLoader(val_ds, batch_size=args.batch_size,
                             shuffle=False, num_workers=0)
     loader_S = None
-    if args.recipe == "br":
-        assert args.source_data_root, "--recipe br needs --source_data_root"
-        # SOURCE = the virtual (train_aug/obj_mesh_aug) domain with its
-        # FULL exact labels — `train_GF_BR.py:165-170` passes no
-        # center_jitter. The hard-coded data_path maps to the
-        # 'train_aug_data_md40_obj_aug.pkl' cache name
+    if args.recipe in ("br", "cr"):
+        assert args.source_data_root, (
+            f"--recipe {args.recipe} needs --source_data_root")
+        # SOURCE = the virtual (train_aug/obj_mesh_aug) domain. br
+        # trains it with FULL exact labels (`train_GF_BR.py:165-170`
+        # passes no center_jitter); cr jitters it too
+        # (`train_GF_BR_CenterRefine.py:162-164`) — the 'obj' marker in
+        # the hard-coded data_path makes the dataset fresh-draw the
+        # delta at the requested magnitude
+        # (`scannet_detection_dataset.py:133-134`). The data_path maps
+        # to the 'train_aug_data_md40_obj_aug.pkl' cache name
         # (`scannet_detection_dataset.py:60-61`).
         nsrc = _gf_fixture_pickle(ds_mod, args.source_data_root,
                                   "train_aug",
@@ -618,18 +632,24 @@ def _main_groupfree(args):
         print(f"fixture scans: source {nsrc}", flush=True)
         train_ds_S = ds_mod.ScannetDetectionDataset(
             "train_aug", "scannet_train_detection_data_md40_obj_mesh_aug",
-            num_points=args.num_point, augment=True, use_height=True)
+            num_points=args.num_point, augment=True, use_height=True,
+            center_jitter=(args.center_jitter if args.recipe == "cr"
+                           else 0))
         loader_S = DataLoader(train_ds_S, batch_size=args.batch_size,
                               shuffle=True, num_workers=0,
                               drop_last=True)
 
     # `train_GF_FSB.py:198-219`
     model_cls = detector_mod.GroupFreeDetector
-    if args.recipe == "br":
+    if args.recipe in ("br", "cr"):
         # `train_GF_BR.py:236-258`: the BR recipe swaps in the DA
-        # detector (GRL global/local discriminators on the decoder)
+        # detector (GRL global/local discriminators on the decoder);
+        # cr uses the jitter-head variant
+        # (`train_GF_BR_CenterRefine.py:232-250`)
         da_mod = importlib.import_module("gfmodels_det.detector_DA")
-        model_cls = da_mod.GroupFreeDetector_DA
+        model_cls = (da_mod.GroupFreeDetector_DA_jitter
+                     if args.recipe == "cr"
+                     else da_mod.GroupFreeDetector_DA)
     net = model_cls(
         num_class=DC.num_class,
         num_heading_bin=DC.num_heading_bin,
@@ -647,15 +667,16 @@ def _main_groupfree(args):
     # (train and eval both); model/optimizer/scheduler are FSB's.
     # br trains with get_loss_DA (`train_GF_BR.py:255`).
     criterion = {"wsb": loss_mod.get_loss_weak,
-                 "br": loss_mod.get_loss_DA}.get(args.recipe,
-                                                 loss_mod.get_loss)
+                 "br": loss_mod.get_loss_DA,
+                 "cr": loss_mod.get_loss_DA_jitter}.get(
+                     args.recipe, loss_mod.get_loss)
     # eval convention matches the votenet recipes: DA recipes score the
     # TARGET domain with the weak criterion (the reference's own BR
     # eval runs get_loss_DA over paired S/T val loaders and reports the
     # TARGET mAP, `train_GF_BR.py:395-480`; target mAP/AR here is that
     # same headline, the logged eval_loss differs by the criterion)
     eval_criterion = (loss_mod.get_loss_weak
-                      if args.recipe in ("wsb", "br")
+                      if args.recipe in ("wsb", "br", "cr")
                       else loss_mod.get_loss)
     decoder_lr = (args.decoder_learning_rate
                   if args.decoder_learning_rate is not None

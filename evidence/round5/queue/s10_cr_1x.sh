@@ -8,10 +8,11 @@
 # jitter head recovers 1x error where it demonstrably failed at 5x.
 cd /root/repo
 set -x
-# end-of-round guard: this stage is opportunistic — never start so
-# late the driver's bench/dryrun captures queue behind it
-if [ "$(date -u +%s)" -ge 1787139000 ]; then
-  echo "S10 CR 1X SKIPPED (past 11:30Z cutoff)"
+# per-step end-of-round guards: never hold the lock into the driver's
+# bench/dryrun captures. The 2400s train leg must START by 10:50Z so
+# it ENDS by 11:30Z; each 1200s diag must start by 11:40Z.
+if [ "$(date -u +%s)" -ge 1787136600 ]; then
+  echo "S10 CR 1X SKIPPED (past 10:50Z cutoff)"
   exit 0
 fi
 timeout 2400 python -m backtoreality_tpu.train.votenet_br_center_refine \
@@ -26,6 +27,10 @@ timeout 2400 python -m backtoreality_tpu.train.votenet_br_center_refine \
 rc=$?
 echo "S10 CR 1X TRAIN rc=$rc"
 for dom in real virtual; do
+  if [ "$(date -u +%s)" -ge 1787139600 ]; then
+    echo "=== cr1x diag $dom SKIPPED (past 11:40Z) ==="
+    continue
+  fi
   timeout 1200 python -m backtoreality_tpu.tools.jitter_diag \
     --ckpt /tmp/r5_cr1x_ours/train_BR_CenterRefine.tar \
     --config /tmp/r5_cr1x_ours/config.json \
